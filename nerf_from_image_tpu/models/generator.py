@@ -1,0 +1,519 @@
+"""Triplane SDF radiance-field generator (flax).
+
+TPU-first re-design of /root/reference/models/generator.py: the StyleGAN2
+synthesis emits a 96-channel feature image reshaped to three 32-channel
+planes; point decoding (triplane gather + tiny MLP + Laplace-CDF SDF ->
+density) is a pure function of (planes, coords) so the renderer can fuse
+coarse/fine passes under one jit — the reference's Python `sampler` closure
+becomes explicit functional state (`GeneratorState`).
+
+The attention-values color mapping, view-direction MLP, conditional layer
+norm, residual image encoder, and SDF regularizer losses are all ported;
+double-backward paths (eikonal, normals) use jax.grad composition.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from nerf_from_image_tpu.core import grids
+from nerf_from_image_tpu.models import stylegan
+
+Dtype = Any
+
+
+def laplace_pdf(x, beta):
+    return 0.5 * jnp.exp(-jnp.abs(x) / beta) / beta
+
+
+def laplace_cdf(x, beta):
+    return 0.5 + 0.5 * jnp.sign(x) * (1.0 - jnp.exp(-jnp.abs(x) / beta))
+
+
+def wide_sigmoid_rescaled(x):
+    """MipNeRF wide sigmoid rescaled to ~[-1, 1] (generator.py:36-39)."""
+    return jax.nn.sigmoid(x) * 2.004 - 1.002
+
+
+class ConditionalLayerNorm(nn.Module):
+    """LayerNorm with latent-conditioned scale/shift (generator.py:42-60)."""
+    ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, z):
+        x = nn.LayerNorm(use_bias=False, use_scale=False,
+                         dtype=self.dtype)(x)
+        gamma = stylegan.EqualizedLinear(self.ch, dtype=self.dtype,
+                                         name='fc_gamma')(z)
+        beta = stylegan.EqualizedLinear(self.ch, dtype=self.dtype,
+                                        name='fc_beta')(z)
+        while beta.ndim < x.ndim:
+            beta = beta[..., None, :]
+            gamma = gamma[..., None, :]
+        return beta + (1.0 + gamma) * x
+
+
+class ResidualEncoder(nn.Module):
+    """Image -> 512-D embedding for encoder-mode GANs (generator.py:63-129)."""
+    use_instance_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = math.sqrt(2.0) / 2.0
+        relu = lambda v: nn.leaky_relu(v, 0.2)
+
+        def norm(v, name):
+            if not self.use_instance_norm:
+                return v
+            # InstanceNorm2d(affine=True) over spatial dims, NCHW.
+            mean = jnp.mean(v, axis=(2, 3), keepdims=True)
+            var = jnp.var(v, axis=(2, 3), keepdims=True)
+            vhat = (v - mean) * jax.lax.rsqrt(var + 1e-5)
+            g = self.param(f'{name}_scale', nn.initializers.ones,
+                           (v.shape[1],))
+            b = self.param(f'{name}_bias', nn.initializers.zeros,
+                           (v.shape[1],))
+            return vhat * g.reshape(1, -1, 1, 1) + b.reshape(1, -1, 1, 1)
+
+        bias_mid = not self.use_instance_norm
+        conv = lambda cin, cout, name, k=3, bias=True: stylegan.EqualizedConv2d(
+            cin, cout, k, use_bias=bias, dtype=self.dtype, name=name)
+        avgpool = lambda v: nn.avg_pool(
+            v.transpose(0, 2, 3, 1), (2, 2), (2, 2)).transpose(0, 3, 1, 2)
+
+        x = relu(conv(x.shape[1], 64, 'conv1')(x))
+        x = relu(conv(64, 128, 'conv2')(x))
+        x = avgpool(x)
+
+        s = x
+        x = relu(norm(conv(128, 128, 'conv3', bias=bias_mid)(x), 'norm3'))
+        x = relu(norm(conv(128, 128, 'conv4', bias=bias_mid)(x), 'norm4'))
+        x = avgpool(x + s) * scale
+
+        s = conv(128, 256, 'shortcut', k=1, bias=False)(x)
+        x = relu(norm(conv(128, 256, 'conv5', bias=bias_mid)(x), 'norm5'))
+        x = relu(norm(conv(256, 256, 'conv6', bias=bias_mid)(x), 'norm6'))
+        x = avgpool(x + s) * scale
+
+        s = x
+        x = relu(norm(conv(256, 256, 'conv7', bias=bias_mid)(x), 'norm7'))
+        x = relu(norm(conv(256, 256, 'conv8', bias=bias_mid)(x), 'norm8'))
+        x = avgpool(x + s) * scale
+
+        x = relu(conv(256, 512, 'conv9')(x))
+        x = relu(conv(512, 512, 'conv10')(x))
+        return jnp.mean(x, axis=(2, 3))
+
+
+class AttentionMapper(nn.Module):
+    """w_tex -> K RGB palette values (generator.py:132-186)."""
+    num_values: int
+    hidden_size: int = 512
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c):
+        scale = math.sqrt(2.0) / 2.0
+        relu = lambda v: nn.leaky_relu(v, 0.2)
+        const = self.param('const', nn.initializers.normal(1.0),
+                           (1, self.hidden_size))
+        x = jnp.broadcast_to(const.astype(self.dtype),
+                             (c.shape[0], self.hidden_size))
+
+        def fc(i):
+            return stylegan.EqualizedLinear(self.hidden_size, use_bias=False,
+                                            dtype=self.dtype, name=f'fc{i}')
+
+        def cln(i, v):
+            return ConditionalLayerNorm(self.hidden_size, dtype=self.dtype,
+                                        name=f'norm{i}')(v, c)
+
+        shortcut = x
+        x = relu(cln(1, fc(1)(x)))
+        x = relu(cln(2, fc(2)(x)))
+        x = (x + shortcut) * scale
+
+        shortcut = x
+        x = relu(cln(3, fc(3)(x)))
+        x = relu(cln(4, fc(4)(x)))
+        x = (x + shortcut) * scale
+
+        x = relu(stylegan.EqualizedLinear(self.hidden_size, dtype=self.dtype,
+                                          name='fc5')(x))
+        values = stylegan.EqualizedLinear(self.num_values * 3,
+                                          dtype=self.dtype,
+                                          name='fc_values')(x)
+        return wide_sigmoid_rescaled(values.reshape(-1, self.num_values, 3))
+
+
+class ViewDirectionMapper(nn.Module):
+    """Per-ray view-direction features + output head (generator.py:189-253).
+
+    `embed(viewdir)` gives (B, Rays, 1, F) features; `apply_features`
+    composes them with per-sample decoder features and projects through a
+    zero-initialized output layer.
+    """
+    output_size: int
+    num_features: int = 32
+    hidden_size: int = 64
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        mk = lambda i, use_bias: stylegan.EqualizedLinear(
+            self.hidden_size, use_bias=use_bias, dtype=self.dtype,
+            name=f'fc{i}')
+        self.fc0 = mk(0, True)
+        self.fc1 = mk(1, False)
+        self.fc2 = mk(2, False)
+        self.fc3 = mk(3, False)
+        self.fc4 = mk(4, False)
+        self.fc5 = mk(5, True)
+        self.fc6 = stylegan.EqualizedLinear(self.num_features,
+                                            dtype=self.dtype, name='fc6')
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.norm4 = nn.LayerNorm(dtype=self.dtype)
+        self.output = stylegan.EqualizedLinear(self.output_size,
+                                               zero_init=True,
+                                               dtype=self.dtype,
+                                               name='output')
+
+    def embed(self, viewdir):
+        relu = lambda v: nn.leaky_relu(v, 0.2)
+        scale = math.sqrt(2.0) / 2.0
+        x = relu(self.fc0(viewdir))
+        shortcut = x
+        x = relu(self.norm1(self.fc1(x)))
+        x = relu(self.norm2(self.fc2(x)))
+        x = (x + shortcut) * scale
+        shortcut = x
+        x = relu(self.norm3(self.fc3(x)))
+        x = relu(self.norm4(self.fc4(x)))
+        x = (x + shortcut) * scale
+        x = relu(self.fc5(x))
+        return self.fc6(x)
+
+    def apply_features(self, viewdir_embedding, features):
+        """viewdir_embedding (..., 1, F) + decoder features (..., S, F)."""
+        y = nn.leaky_relu(viewdir_embedding + features, 0.2)
+        return self.output(y)
+
+    def __call__(self, viewdir, features):
+        return self.apply_features(self.embed(viewdir), features)
+
+
+class TriplanarDecoder(nn.Module):
+    """Triplane gather + 2-layer Softplus MLP (generator.py:288-331)."""
+    num_input_features: int = 32
+    num_output_features: int = 3
+    hidden_dim: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xy, xz, yz, coords):
+        """planes (B, C, R, R) x3; coords (B, H, W, 3) normalized [-1, 1].
+
+        Returns dict(features (B, N, out), density_or_distance (B, N, 1))
+        where N = H * W.
+        """
+        e1 = grids.grid_sample2d(xy, coords[..., (0, 1)])
+        e2 = grids.grid_sample2d(xz, coords[..., (0, 2)])
+        e3 = grids.grid_sample2d(yz, coords[..., (1, 2)])
+        x = (e1 + e2 + e3) / 3.0
+        b, c = x.shape[0], x.shape[1]
+        x = x.reshape(b, c, -1).transpose(0, 2, 1)  # (B, N, C)
+        x = stylegan.EqualizedLinear(self.hidden_dim, dtype=self.dtype,
+                                     name='fc0')(x)
+        x = jax.nn.softplus(x)
+        x = stylegan.EqualizedLinear(1 + self.num_output_features,
+                                     dtype=self.dtype, name='fc1')(x)
+        return {'features': x[..., 1:], 'density_or_distance': x[..., :1]}
+
+
+@flax.struct.dataclass
+class GeneratorState:
+    """Functional equivalent of the reference's `sampler` closure state."""
+    planes: jnp.ndarray  # (B, 3, 32, R, R)
+    attention_values: Optional[jnp.ndarray] = None  # (B, K, 3)
+    viewdir_embedding: Optional[jnp.ndarray] = None  # (B, Rays, 1, F)
+
+
+class Generator(nn.Module):
+    """Full radiance-field generator; see module docstring.
+
+    Methods (use `module.apply(vars, ..., method=...)`):
+      map(z, c=None)                 -> ws (B, num_ws, 512)
+      synthesize(ws, ...)            -> GeneratorState
+      decode(state, coords)          -> raw decoder outputs
+      sample(state, x_in, requests)  -> dict of sampler outputs
+      texture(w_tex)                 -> attention values
+      embed_image(img)               -> encoder-mode embedding
+    """
+    latent_dim: int
+    scene_range: float
+    attention_values: int = 10
+    use_viewdir: bool = False
+    use_encoder: bool = False
+    use_sdf: bool = True
+    num_classes: Optional[int] = None
+    img_resolution: int = 256
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c_dim = 512 if self.num_classes else 0
+        w_dim = 512
+        if self.use_encoder:
+            self.emb = ResidualEncoder(use_instance_norm=True,
+                                       dtype=self.dtype)
+            c_dim = w_dim
+        num_ws = 14 + (1 if self.attention_values > 0 else 0)
+        self.num_ws = num_ws
+        self.mapping_network = stylegan.MappingNetwork(
+            z_dim=self.latent_dim, c_dim=c_dim, w_dim=w_dim, num_ws=num_ws,
+            num_layers=2, lr_multiplier=0.01, normalize_c=False,
+            dtype=self.dtype)
+        self.synthesis_network = stylegan.SynthesisNetwork(
+            w_dim=w_dim, img_resolution=self.img_resolution, img_channels=96,
+            dtype=self.dtype)
+        if self.use_viewdir:
+            decoder_output_dim = 32
+        elif self.attention_values > 0:
+            decoder_output_dim = self.attention_values
+        else:
+            decoder_output_dim = 3
+        self.decoder = TriplanarDecoder(32, decoder_output_dim,
+                                        dtype=self.dtype)
+        if self.use_viewdir:
+            self.viewdir_mapper = ViewDirectionMapper(
+                self.attention_values if self.attention_values > 0 else 3,
+                32, dtype=self.dtype)
+        if self.use_sdf:
+            self.beta = self.param('beta',
+                                   lambda k: jnp.asarray([0.1]))
+            self.alpha = self.param('alpha',
+                                    lambda k: jnp.asarray([1.0]))
+        if self.attention_values > 0:
+            self.texture_mapper = AttentionMapper(self.attention_values,
+                                                  dtype=self.dtype)
+        if self.num_classes:
+            self.class_embedding = nn.Embed(self.num_classes, 512)
+
+    # ---- Latent mapping -------------------------------------------------
+
+    def map(self, z, c=None):
+        return self.mapping_network(z, c)
+
+    def embed_class(self, labels):
+        return self.class_embedding(labels)
+
+    def embed_image(self, img):
+        return self.emb(img)
+
+    def texture(self, w_tex):
+        return self.texture_mapper(w_tex)
+
+    def average_w(self, rng, n_samples: int = 10000):
+        """Mean w over latent samples (generator.py:263-282, unconditional)."""
+        z = jax.random.normal(rng, (n_samples, self.latent_dim))
+        w = self.mapping_network(z, None)
+        return jnp.mean(w, axis=0, keepdims=True)
+
+    # ---- Synthesis -------------------------------------------------------
+
+    def synthesize_planes(self, ws, noise_mode='none', noise_rng=None):
+        """ws for the synthesis backbone (first 14) -> triplanes."""
+        planes = self.synthesis_network(ws, noise_mode=noise_mode,
+                                        noise_rng=noise_rng)
+        b = ws.shape[0]
+        return planes.reshape(b, 3, 32, planes.shape[-2], planes.shape[-1])
+
+    def synthesize(self, ws, viewdirs=None, noise_mode='none', noise_rng=None,
+                   attention_values_override=None,
+                   attention_values_bias=None):
+        """Full forward to a GeneratorState (generator.py:407-503)."""
+        if self.attention_values > 0:
+            w_tex = ws[:, 14]
+            w_synth = ws[:, :14]
+            if attention_values_override is not None:
+                att = attention_values_override
+            else:
+                att = self.texture_mapper(w_tex)
+                if attention_values_bias is not None:
+                    att = att + attention_values_bias
+        else:
+            w_synth = ws
+            att = None
+        planes = self.synthesize_planes(w_synth, noise_mode, noise_rng)
+        vd_emb = None
+        if self.use_viewdir and viewdirs is not None:
+            vd = viewdirs.reshape(viewdirs.shape[0], -1, 1, 3)
+            vd_emb = self.viewdir_mapper.embed(vd)
+        return GeneratorState(planes=planes, attention_values=att,
+                              viewdir_embedding=vd_emb)
+
+    # ---- Point decoding ---------------------------------------------------
+
+    def decode(self, planes, coords):
+        """Raw triplane decode; coords normalized to [-1, 1]."""
+        return self.decoder(planes[:, 0], planes[:, 1], planes[:, 2], coords)
+
+    def sdf_to_sigma(self, density_or_distance, out_of_bounds_mask):
+        if self.use_sdf:
+            beta = self.beta
+            alpha = 1.0 / self.alpha
+            neg_distance = -density_or_distance[..., -1]
+            density_prealpha = laplace_cdf(neg_distance, beta) * (
+                1.0 - out_of_bounds_mask)
+            return alpha * density_prealpha
+        density_pre = density_or_distance[..., -1] - 1.0
+        return jax.nn.softplus(density_pre) * (1.0 - out_of_bounds_mask)
+
+    def sample(self, state: GeneratorState, x_in,
+               requests: Sequence[str] = ('sigma', 'rgb')):
+        """Evaluates the field at world points (generator.py:587-681).
+
+        Args:
+          state: GeneratorState from `synthesize`.
+          x_in: (B, ..., S, 3) world-space points.
+          requests: subset of {'sdf_distance', 'sigma', 'rgb', 'normals',
+            'semantics', 'coords'}.
+
+        Returns dict with values flattened over non-batch dims:
+          sigma (B, N), rgb (B, N, 3 or K), etc.
+        """
+        bs = x_in.shape[0]
+
+        def decode_density(pts_flat):
+            x = pts_flat.reshape(bs, 1, -1, 3) / self.scene_range
+            return self.decode(state.planes, x)
+
+        x = x_in.reshape(bs, 1, -1, 3) / self.scene_range
+        oob = jax.lax.stop_gradient(
+            jnp.any(jnp.abs(x) > 1.0, axis=-1).astype(x.dtype).reshape(
+                bs, -1))
+
+        outputs: Dict[str, jnp.ndarray] = {}
+        if 'normals' in requests:
+            # Normals = normalized gradient of the SDF wrt input points.
+            def sdf_sum(pts):
+                d = decode_density(pts)['density_or_distance']
+                return jnp.sum(d[..., -1])
+
+            grad = jax.grad(sdf_sum)(x_in)
+            norm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
+            outputs['normals'] = (grad / jnp.maximum(norm, 1e-12)).reshape(
+                bs, -1, 3)
+
+        dec = decode_density(x_in)
+        density_or_distance = dec['density_or_distance']
+        features = dec['features']
+
+        if 'sdf_distance' in requests:
+            outputs['sdf_distance'] = density_or_distance
+
+        if 'sigma' in requests:
+            outputs['sigma'] = self.sdf_to_sigma(density_or_distance, oob)
+
+        if 'coords' in requests:
+            outputs['coords'] = x_in.reshape(bs, -1, 3)
+
+        if 'rgb' in requests or 'semantics' in requests:
+            if self.use_viewdir and state.viewdir_embedding is not None:
+                s = x_in.shape[-2]
+                feat = features.reshape(bs, -1, s, features.shape[-1])
+                feat = self.viewdir_mapper.apply_features(
+                    state.viewdir_embedding, feat)
+                features = feat.reshape(bs, -1, feat.shape[-1])
+            if self.attention_values == 0:
+                rgb = wide_sigmoid_rescaled(features)
+                if 'rgb' in requests:
+                    outputs['rgb'] = rgb
+            else:
+                attention_probs = jax.nn.softmax(features, axis=-1)
+                if 'semantics' in requests:
+                    outputs['semantics'] = attention_probs
+                if 'rgb' in requests:
+                    outputs['rgb'] = jnp.matmul(attention_probs,
+                                                state.attention_values)
+        return outputs
+
+    # ---- Regularizer losses -------------------------------------------------
+
+    def sdf_losses(self, planes, rng,
+                   requests: Sequence[str] = ('sdf_eikonal_loss',),
+                   nstrata: int = 32):
+        """Eikonal/distance/TV/entropy losses on stratified volume samples
+        (generator.py:505-585)."""
+        bs = planes.shape[0]
+        rng_strata, rng_perturb = jax.random.split(rng)
+        bins_in = grids.sample_volume_stratified(rng_strata, bs, nstrata,
+                                                 self.scene_range)
+        outputs = {}
+
+        def decode_d(pts):
+            coords = (pts / self.scene_range).reshape(bs, 1, -1, 3)
+            return self.decode(planes, coords)['density_or_distance'][..., -1]
+
+        if 'sdf_eikonal_loss' in requests:
+            grad = jax.grad(lambda p: jnp.sum(decode_d(p)))(bins_in)
+            sdf_magnitude = jnp.linalg.norm(grad, axis=-1)
+            outputs['sdf_eikonal_loss'] = jnp.mean(
+                jnp.square(sdf_magnitude - 1.0).reshape(bs, -1), axis=1)
+
+        d = decode_d(bins_in)
+
+        if 'sdf_distance_loss' in requests:
+            target = jax.lax.stop_gradient(
+                jnp.linalg.norm(bins_in, axis=-1) - 1.0)
+            outputs['sdf_distance_loss'] = jnp.mean(
+                jnp.square(d.reshape(bs, -1) - target.reshape(bs, -1)),
+                axis=1)
+
+        if 'total_variation_loss' in requests or 'entropy_loss' in requests:
+            if 'total_variation_loss' in requests:
+                perturbed = jax.lax.stop_gradient(bins_in) + \
+                    jax.random.normal(rng_perturb, bins_in.shape) * \
+                    0.004 * self.scene_range
+                d_perturb = decode_d(perturbed)
+            if self.use_sdf:
+                beta = self.beta
+                if 'total_variation_loss' in requests:
+                    pre = laplace_cdf(-d, beta)
+                    pre_p = laplace_cdf(-d_perturb, beta)
+                    outputs['total_variation_loss'] = jnp.mean(
+                        jnp.abs(pre - pre_p).reshape(bs, -1), axis=1)
+                if 'entropy_loss' in requests:
+                    outputs['entropy_loss'] = jnp.mean(
+                        laplace_pdf(-d, beta).reshape(bs, -1), axis=1)
+            else:
+                tv_term = jax.nn.sigmoid(d - 1.0)
+                if 'total_variation_loss' in requests:
+                    tv_p = jax.nn.sigmoid(d_perturb - 1.0)
+                    outputs['total_variation_loss'] = jnp.mean(
+                        jnp.abs(tv_term - tv_p).reshape(bs, -1), axis=1)
+                if 'entropy_loss' in requests:
+                    outputs['entropy_loss'] = jnp.mean(
+                        (tv_term * (1.0 - tv_term)).reshape(bs, -1), axis=1)
+        return outputs
+
+    def __call__(self, z, c=None):
+        """Init-friendly forward: maps z and synthesizes a state."""
+        ws = self.map(z, c)
+        state = self.synthesize(ws)
+        if self.use_viewdir:
+            # Touch viewdir params so init creates them.
+            _ = self.viewdir_mapper.embed(
+                jnp.zeros((z.shape[0], 1, 1, 3), self.dtype))
+        probe = jnp.zeros((z.shape[0], 8, 1, 3), self.dtype)
+        _ = self.sample(state, probe, ('sigma', 'rgb'))
+        return state

@@ -1,0 +1,163 @@
+"""Volume renderer: rays -> coarse/fine field sampling -> compositing.
+
+Functional re-design of the reference `render()` pipeline
+(/root/reference/run.py:176-350) as one jittable function. The field is
+abstracted as `sample_fn(points, requests) -> dict` (the functional
+equivalent of the reference's sampler closure); coarse and fine passes,
+EG3D weight smoothing, PDF resampling, and the sorted merge are all
+static-shape and differentiate end-to-end (camera gradients included).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from nerf_from_image_tpu.core import compositing
+from nerf_from_image_tpu.core import rays as rays_lib
+from nerf_from_image_tpu.core import sampling
+
+
+@flax.struct.dataclass
+class RenderOutput:
+    rgb: jnp.ndarray  # (B, H, W, C)
+    depth: jnp.ndarray  # (B, H, W)
+    mask: jnp.ndarray  # (B, H, W)
+    normals: Optional[jnp.ndarray] = None  # (B, H, W, 3)
+    semantics: Optional[jnp.ndarray] = None  # (B, H, W, K or 3)
+
+
+def normalize(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+def render(
+    sample_fn: Callable[[jnp.ndarray, Sequence[str]], Dict[str, jnp.ndarray]],
+    height: int,
+    width: int,
+    cam2world: jnp.ndarray,
+    focal_length: Optional[jnp.ndarray],
+    center: Optional[jnp.ndarray],
+    bbox: Optional[jnp.ndarray],
+    scene_range: float,
+    white_background: bool,
+    depth_samples_per_ray: int,
+    rng: Optional[jax.Array] = None,
+    fine_sampling: bool = True,
+    compute_normals: bool = False,
+    compute_semantics: bool = False,
+    compute_coords: bool = False,
+    force_no_cam_grad: bool = False,
+) -> RenderOutput:
+    """Renders a batch of views. `rng=None` -> deterministic sampling."""
+    b = cam2world.shape[0]
+    ray_origins, ray_directions = rays_lib.get_ray_bundle(
+        height, width, focal_length, cam2world, bbox, center)
+    ray_directions = normalize(ray_directions)
+
+    near, far = rays_lib.compute_near_far_planes(
+        jax.lax.stop_gradient(ray_origins),
+        jax.lax.stop_gradient(ray_directions), scene_range)
+
+    rng_coarse = rng_fine = None
+    if rng is not None:
+        rng_coarse, rng_fine = jax.random.split(rng)
+
+    query_points, depth_values = rays_lib.compute_query_points_from_rays(
+        ray_origins, ray_directions, near, far, depth_samples_per_ray,
+        rng=rng_coarse)
+
+    if force_no_cam_grad:
+        query_points = jax.lax.stop_gradient(query_points)
+        depth_values = jax.lax.stop_gradient(depth_values)
+        ray_directions = jax.lax.stop_gradient(ray_directions)
+
+    requests = ['sigma', 'rgb']
+    if compute_normals:
+        requests.append('normals')
+    if compute_semantics:
+        requests.append('semantics')
+    if compute_coords:
+        requests.append('coords')
+
+    def unflatten(v, s):
+        return v.reshape(b, height, width, s, -1)
+
+    s_coarse = depth_samples_per_ray
+    out_coarse = sample_fn(query_points, tuple(requests))
+    sigma = unflatten(out_coarse['sigma'], s_coarse)[..., 0]
+    rgb = unflatten(out_coarse['rgb'], s_coarse)
+    normals = (unflatten(out_coarse['normals'], s_coarse)
+               if compute_normals else None)
+    semantics = (unflatten(out_coarse['semantics'], s_coarse)
+                 if compute_semantics else None)
+    coords = (unflatten(out_coarse['coords'], s_coarse)
+              if compute_coords else None)
+
+    if fine_sampling:
+        z_vals = depth_values
+        weights = jax.lax.stop_gradient(
+            compositing.render_volume_density_weights_only(
+                sigma, ray_directions, depth_values))
+        weights = sampling.smooth_weights_eg3d(
+            weights.reshape(-1, s_coarse))
+        z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sampling.sample_pdf(
+            z_vals_mid.reshape(-1, s_coarse - 1),
+            weights[..., 1:-1],
+            depth_samples_per_ray,
+            rng=rng_fine)
+        z_samples = jax.lax.stop_gradient(
+            z_samples.reshape(b, height, width, depth_samples_per_ray))
+
+        query_points_fine = (
+            ray_origins[..., None, :] +
+            ray_directions[..., None, :] * z_samples[..., :, None])
+
+        out_fine = sample_fn(query_points_fine, tuple(requests))
+        sigma_fine = unflatten(out_fine['sigma'], s_coarse)[..., 0]
+        rgb_fine = unflatten(out_fine['rgb'], s_coarse)
+
+        pairs = [(rgb, rgb_fine)]
+        keys = []
+        if compute_normals:
+            pairs.append((normals, unflatten(out_fine['normals'], s_coarse)))
+            keys.append('normals')
+        if compute_semantics:
+            pairs.append(
+                (semantics, unflatten(out_fine['semantics'], s_coarse)))
+            keys.append('semantics')
+        if compute_coords:
+            pairs.append((coords, unflatten(out_fine['coords'], s_coarse)))
+            keys.append('coords')
+
+        merged = sampling.sort_merge(
+            z_vals, z_samples,
+            (sigma[..., None], sigma_fine[..., None]), *pairs)
+        depth_values = merged[0]
+        sigma = merged[1][..., 0]
+        rgb = merged[2]
+        for i, k in enumerate(keys):
+            if k == 'normals':
+                normals = merged[3 + i]
+            elif k == 'semantics':
+                semantics = merged[3 + i]
+            elif k == 'coords':
+                coords = merged[3 + i]
+
+    if coords is not None:
+        # Canonical-coordinate rendering reuses the semantics slot
+        # (run.py:337-338).
+        semantics = coords
+
+    rgb_map, depth_map, mask, normal_map, semantic_map = (
+        compositing.render_volume_density(
+            sigma, rgb, ray_directions, depth_values,
+            normals=normals, semantics=semantics,
+            white_background=white_background))
+
+    return RenderOutput(rgb=rgb_map, depth=depth_map, mask=mask,
+                        normals=normal_map, semantics=semantic_map)

@@ -1,0 +1,34 @@
+import os
+
+# Tests always run on a virtual 8-device CPU mesh so sharding logic is
+# exercised without TPU hardware (and hermetically on any machine).
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import pathlib  # noqa: E402
+import sys  # noqa: E402
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent compilation cache: XLA CPU compiles are slow on small
+# containers; cache makes test re-runs fast.
+_CACHE_DIR = pathlib.Path(__file__).resolve().parent.parent / '.jax_cache'
+jax.config.update('jax_compilation_cache_dir', str(_CACHE_DIR))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+GOLDEN_PATH = REPO_ROOT / 'tests' / 'golden' / 'core_golden.npz'
+
+
+@pytest.fixture(scope='session')
+def golden():
+    assert GOLDEN_PATH.exists(), (
+        'Golden fixtures missing; run scripts/gen_golden.py')
+    return np.load(GOLDEN_PATH)
