@@ -1,0 +1,172 @@
+"""Hybrid-inversion refinement: latent + pose Adam loop as one lax.scan.
+
+TPU-first re-design of the reference's per-step Python loop
+(/root/reference/run.py:1986-2317): the ~30 Adam steps over
+[w, z0, R, s, t2] compile to a single jitted `lax.scan`, so a whole batch
+of images is inverted in one device program (the BASELINE.json north-star
+formulation). Includes the z-gain trick (w stored divided by gain so
+Adam's effective lr on it is gain x), per-step projections (R
+re-normalized, z0 clamped to +-4, s -> |s|), and the reference losses
+(VGG-LPIPS with 15 random-affine crops / l1 / mse / mixed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_from_image_tpu.core import augment as augment_lib
+from nerf_from_image_tpu.core import pose as pose_utils
+from nerf_from_image_tpu.models.generator import Generator
+from nerf_from_image_tpu.models.lpips import LPIPS
+from nerf_from_image_tpu.render import render
+
+
+@flax.struct.dataclass
+class InversionParams:
+    """Optimizable inversion state. z is stored pre-gain (w = z * gain)."""
+    z: jnp.ndarray  # (B, num_ws or 1, 512)
+    R: jnp.ndarray  # (B, 4) quaternion
+    s: jnp.ndarray  # (B,)
+    t2: jnp.ndarray  # (B, 2)
+    z0: Optional[jnp.ndarray] = None  # (B,) perspective only
+
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class InversionConfig:
+    """Static inversion configuration (closed over by the jitted loop)."""
+    resolution: int = 128
+    depth_samples_per_ray: int = 64
+    fine_sampling: bool = True
+    ray_multiplier: int = 1  # 4 when fine sampling is off (run.py:2271)
+    scene_range: float = 0.55
+    white_background: bool = True
+    camera_flipped: bool = False
+    lr_gain_z: float = 5.0
+    loss_type: str = 'vgg'  # vgg | vgg_nocrop | l1 | mse | mixed
+    num_augmentations: int = 15
+    optimize_pose: bool = True
+    lr: float = 2e-3
+
+
+def make_camera(params: InversionParams, camera_flipped: bool):
+    r = params.R / jnp.linalg.norm(params.R, axis=-1, keepdims=True)
+    return pose_utils.pose_to_matrix(params.z0, params.t2, params.s, r,
+                                     camera_flipped)
+
+
+def render_from_params(gen: Generator, gen_vars, params: InversionParams,
+                       cfg: InversionConfig, center=None, bbox=None,
+                       compute_normals=False, compute_semantics=False):
+    cam, focal = make_camera(params, cfg.camera_flipped)
+    ws = params.z * cfg.lr_gain_z
+    if ws.shape[1] == 1:
+        num_ws = 14 + (1 if gen.attention_values > 0 else 0)
+        ws = jnp.broadcast_to(ws, (ws.shape[0], num_ws, ws.shape[-1]))
+    state = gen.apply(gen_vars, ws, method=Generator.synthesize)
+
+    def sample_fn(pts, reqs):
+        return gen.apply(gen_vars, state, pts, reqs, method=Generator.sample)
+
+    out = render(sample_fn, cfg.resolution, cfg.resolution, cam, focal,
+                 center, bbox, cfg.scene_range, cfg.white_background,
+                 cfg.depth_samples_per_ray * cfg.ray_multiplier, rng=None,
+                 fine_sampling=cfg.fine_sampling,
+                 compute_normals=compute_normals,
+                 compute_semantics=compute_semantics)
+    return out, cam, focal
+
+
+def inversion_loss(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
+                   params: InversionParams, target_img: jnp.ndarray,
+                   cfg: InversionConfig, rng: jax.Array):
+    """Loss of run.py:2202-2254. target_img: (B, H, W, 3+) in [-1, 1]."""
+    out, cam, focal = render_from_params(gen, gen_vars, params, cfg)
+    pred = out.rgb  # (B, H, W, 3)
+    target = target_img[..., :3]
+
+    loss = 0.0
+    if cfg.loss_type in ('vgg', 'vgg_nocrop', 'mixed'):
+        pred_nchw = pred.transpose(0, 3, 1, 2)
+        target_nchw = target.transpose(0, 3, 1, 2)
+        n_aug = 0 if cfg.loss_type == 'vgg_nocrop' else cfg.num_augmentations
+        if n_aug > 0:
+            b = pred.shape[0]
+            cat = jnp.concatenate((pred_nchw, target_nchw), axis=1)
+            cat = jnp.repeat(cat, n_aug, axis=0)  # (B * n_aug, 6, H, W)
+            cat_aug, _, _, _ = augment_lib.augment(
+                rng, cat, None, None, 1.0,
+                white_background=cfg.white_background)
+            pred_all = jnp.concatenate((pred_nchw, cat_aug[:, :3]), axis=0)
+            target_all = jnp.concatenate((target_nchw, cat_aug[:, 3:]),
+                                         axis=0)
+        else:
+            pred_all, target_all = pred_nchw, target_nchw
+        lp = lpips.apply(lpips_vars, pred_all, target_all)
+        # Disjoint samples: sum over batch (run.py:2232-2235).
+        loss = loss + jnp.mean(lp) * pred.shape[0]
+    if cfg.loss_type in ('l1', 'mixed'):
+        loss = loss + jnp.mean(jnp.abs(pred - target)) * pred.shape[0]
+    if cfg.loss_type == 'mse':
+        loss = jnp.mean(jnp.square(pred - target)) * pred.shape[0]
+    if cfg.loss_type == 'mixed':
+        loss = loss / 2.0
+
+    monitor = {
+        'psnr': -10.0 * jnp.log10(
+            jnp.mean(jnp.square((pred - target) / 2.0), axis=(1, 2, 3))),
+    }
+    return loss, monitor
+
+
+def make_inversion_step(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
+                        cfg: InversionConfig):
+    opt = optax.adam(cfg.lr, b1=0.9, b2=0.95)
+
+    def project(params: InversionParams) -> InversionParams:
+        r = params.R / jnp.linalg.norm(params.R, axis=-1, keepdims=True)
+        new = params.replace(R=r, s=jnp.abs(params.s))
+        if params.z0 is not None:
+            new = new.replace(z0=jnp.clip(params.z0, -4.0, 4.0))
+        return new
+
+    def step(carry, rng):
+        params, opt_state, target = carry
+
+        def loss_fn(p):
+            return inversion_loss(gen, gen_vars, lpips, lpips_vars, p,
+                                  target, cfg, rng)
+
+        (loss, monitor), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        if not cfg.optimize_pose:
+            zero = lambda x: jnp.zeros_like(x) if x is not None else None
+            grads = grads.replace(R=zero(grads.R), s=zero(grads.s),
+                                  t2=zero(grads.t2),
+                                  z0=zero(grads.z0))
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = project(optax.apply_updates(params, updates))
+        metrics = {'loss': loss, 'psnr': jnp.mean(monitor['psnr'])}
+        return (params, opt_state, target), metrics
+
+    return opt, step
+
+
+def run_inversion(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
+                  init_params: InversionParams, target_img: jnp.ndarray,
+                  cfg: InversionConfig, n_steps: int, rng: jax.Array):
+    """Full refinement loop as one lax.scan; returns (params, metrics)."""
+    opt, step = make_inversion_step(gen, gen_vars, lpips, lpips_vars, cfg)
+    opt_state = opt.init(init_params)
+    rngs = jax.random.split(rng, n_steps)
+    (params, _, _), metrics = jax.lax.scan(
+        step, (init_params, opt_state, target_img), rngs)
+    return params, metrics

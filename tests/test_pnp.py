@@ -1,0 +1,109 @@
+"""Native PnP solver tests against synthetic ground-truth projections."""
+
+import numpy as np
+import pytest
+
+from nerf_from_image_tpu.invert import pnp
+
+
+def _project(points, R, t, f):
+    pc = points @ R.T + t
+    return f * pc[:, :2] / pc[:, 2:3], pc[:, 2]
+
+
+def _random_pose(rng):
+    q = rng.randn(4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+    t = np.array([0.05, -0.08, 3.5]) + rng.randn(3) * 0.05
+    t[2] = abs(t[2]) + 2.0
+    return R, t
+
+
+def _make_problem(rng, h=24, w=24, f=1.8):
+    """Builds a (coords, mask) pair whose exact PnP solution is (R, t)."""
+    R, t = _random_pose(rng)
+    # Reference grid convention: uv = (x/w, y/h) - 0.5.
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+    uv = np.stack((xs / w - 0.5, ys / h - 0.5), axis=-1).reshape(-1, 2)
+    # Invert the projection: choose depths, back-project to world points.
+    n = uv.shape[0]
+    depths = 3.0 + rng.rand(n)
+    pc = np.concatenate((uv * depths[:, None] / f, depths[:, None]), axis=-1)
+    pw = (pc - t) @ R  # R^T @ (pc - t) = R^{-1}(pc - t)
+    coords = pw.reshape(1, h, w, 3)
+    mask = np.ones((1, h, w), dtype=bool)
+    # Knock out some pixels to exercise masking.
+    mask[0, :4, :4] = False
+    return coords, mask, R, t
+
+
+def test_pnp_recovers_exact_pose():
+    rng = np.random.RandomState(0)
+    coords, mask, R, t = _make_problem(rng, f=1.8)
+    w2c, focal, err = pnp.compute_pose_pnp(coords, mask,
+                                           [1.2, 1.8, 2.5])
+    assert focal[0] == pytest.approx(1.8)
+    flip = np.diag([1.0, -1.0, -1.0])
+    R_est = flip @ w2c[0, :3, :3]
+    t_est = flip @ w2c[0, :3, 3]
+    np.testing.assert_allclose(R_est, R, atol=5e-3)
+    np.testing.assert_allclose(t_est, t, atol=2e-2)
+    assert err[0] < 1e-3
+
+
+def test_pnp_batch_and_dummy_fallback():
+    rng = np.random.RandomState(1)
+    coords, mask, _, _ = _make_problem(rng)
+    # Second image: empty mask -> dummy pose.
+    coords2 = np.concatenate((coords, coords), axis=0)
+    mask2 = np.concatenate((mask, np.zeros_like(mask)), axis=0)
+    w2c, focal, err = pnp.compute_pose_pnp(coords2, mask2, [1.8])
+    assert err[1] == pytest.approx(10.0)
+    # Dummy pose: flip @ [I | (0,0,-10)] -> tz = +10.
+    assert w2c[1, 2, 3] == pytest.approx(10.0)
+    assert focal[1] == pytest.approx(1.0)
+
+
+def test_pnp_matches_opencv():
+    cv2 = pytest.importorskip('cv2')
+    rng = np.random.RandomState(2)
+    coords, mask, R, t = _make_problem(rng, f=2.0)
+    w2c, focal, err = pnp.compute_pose_pnp(coords, mask, [2.0])
+
+    pts_xyz = coords[0][mask[0]].astype(np.float64)
+    h, w = mask.shape[1:]
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+    uv = np.stack((xs / w - 0.5, ys / h - 0.5), axis=-1)
+    pts_uv = uv[mask[0]]
+    K = np.diag([2.0, 2.0, 1.0])
+    ok, rvec, tvec = cv2.solvePnP(pts_xyz, pts_uv, K, None,
+                                  flags=cv2.SOLVEPNP_EPNP)
+    R_cv = cv2.Rodrigues(rvec)[0]
+    flip = np.diag([1.0, -1.0, -1.0])
+    np.testing.assert_allclose(flip @ w2c[0, :3, :3], R_cv, atol=1e-2)
+    np.testing.assert_allclose(flip @ w2c[0, :3, 3], tvec.flatten(),
+                               atol=5e-2)
+
+
+def test_estimate_poses_batch_ortho():
+    rng = np.random.RandomState(3)
+    coords, mask, _, _ = _make_problem(rng, f=100.0)
+    cam2world, focal, err = pnp.estimate_poses_batch(
+        coords, mask[0].astype(np.float32)[None] * 1.0, None)
+    assert focal is None
+    assert cam2world.shape == (1, 4, 4)
+    assert np.isfinite(cam2world).all()
+
+
+def test_focal_guesses():
+    f = np.linspace(1.0, 3.0, 100)
+    g = pnp.get_focal_guesses(f)
+    assert len(g) == 11
+    assert g.min() >= 1.0 and g.max() <= 3.0
+    assert pnp.get_focal_guesses(None) is None

@@ -1,0 +1,97 @@
+"""GAN train-step smoke tests on an 8-device CPU mesh (tiny shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_from_image_tpu.parallel import create_mesh, replicate, shard_batch
+from nerf_from_image_tpu.train import gan as gan_lib
+
+
+@pytest.fixture(scope='module')
+def tiny_setup():
+    cfg = gan_lib.GANConfig(resolution=16, latent_dim=32,
+                            depth_samples_per_ray=4, fine_sampling=True,
+                            scene_range=0.55, white_background=True,
+                            attention_values=4, batch_size=8,
+                            plane_resolution=32,
+                            path_length_regularization=True,
+                            augment_ada=True, augment_p_max=0.8)
+    gen, disc = gan_lib.make_models(cfg)
+    state = jax.jit(lambda k: gan_lib.init_train_state(k, cfg))(
+        jax.random.PRNGKey(0))
+    return cfg, gen, disc, state
+
+
+def _batch(cfg, key, with_image=False):
+    b = 8
+    pose = jnp.broadcast_to(jnp.eye(4), (b, 4, 4)).at[:, 2, 3].set(4.0)
+    out = {
+        'pose': pose,
+        'focal': jnp.full((b,), 1.2),
+        'z': jax.random.normal(key, (b, cfg.latent_dim)),
+    }
+    if with_image:
+        out['image'] = jax.random.uniform(
+            key, (b, cfg.resolution, cfg.resolution, 3), minval=-1,
+            maxval=1)
+    return out
+
+
+@pytest.mark.slow
+def test_g_and_d_step(tiny_setup):
+    cfg, gen, disc, state = tiny_setup
+    opt_g, opt_d = gan_lib.make_optimizers(cfg)
+
+    mesh = create_mesh()
+    state = replicate(state, mesh)
+
+    batch = shard_batch(_batch(cfg, jax.random.PRNGKey(1)), mesh)
+    state2, metrics = jax.jit(
+        lambda s, b: gan_lib.g_step(s, b, gen, disc, opt_g, cfg))(state,
+                                                                  batch)
+    assert np.isfinite(float(metrics['loss_g']))
+    assert np.isfinite(float(metrics['loss_eikonal']))
+    assert np.isfinite(float(metrics['loss_ppl']))
+    assert int(state2.iteration) == 1
+    # Params changed.
+    w0 = jax.tree_util.tree_leaves(state.params_g)[0]
+    w1 = jax.tree_util.tree_leaves(state2.params_g)[0]
+    assert not np.allclose(np.asarray(w0), np.asarray(w1))
+
+    real = shard_batch(_batch(cfg, jax.random.PRNGKey(2), with_image=True),
+                       mesh)
+    fake = shard_batch(_batch(cfg, jax.random.PRNGKey(3)), mesh)
+    state3, metrics_d = jax.jit(
+        lambda s, br, bf: gan_lib.d_step(s, br, bf, gen, disc, opt_d, cfg,
+                                         use_r1_now=True, blur_active=True))(
+                                             state2, real, fake)
+    for k in ('loss_d_real', 'loss_d_fake', 'loss_r1', 'sign_real'):
+        assert np.isfinite(float(metrics_d[k])), k
+    assert int(state3.iteration) == 2
+
+
+def test_blur_kernel_dynamic_matches_static():
+    # In-graph fixed-width kernel equals the reference-style kernel padded.
+    from nerf_from_image_tpu.core.grids import blur_kernel_1d
+    k_dyn = np.asarray(gan_lib.blur_kernel_dynamic(jnp.asarray(100.0)))
+    k_ref = np.asarray(blur_kernel_1d(100, 12500))
+    half = gan_lib.MAX_BLUR_HALF
+    pad = (len(k_dyn) - len(k_ref)) // 2
+    np.testing.assert_allclose(k_dyn[pad:len(k_dyn) - pad], k_ref,
+                               rtol=1e-5, atol=1e-7)
+    assert np.abs(k_dyn[:pad]).max() == 0
+    # Past warmup: delta kernel.
+    k_post = np.asarray(gan_lib.blur_kernel_dynamic(jnp.asarray(20000.0)))
+    assert k_post[half] == 1.0 and np.abs(k_post).sum() == 1.0
+
+
+def test_ema_alpha_schedule():
+    a = gan_lib._ema_alpha(jnp.asarray(0))
+    b = gan_lib._ema_alpha(jnp.asarray(5000))
+    c = gan_lib._ema_alpha(jnp.asarray(20000))
+    base = 0.5 ** (32 / 10000)
+    np.testing.assert_allclose(float(a), base ** 100, rtol=1e-6)
+    np.testing.assert_allclose(float(b), base ** 10, rtol=1e-6)
+    np.testing.assert_allclose(float(c), base, rtol=1e-6)
