@@ -1,0 +1,239 @@
+"""Hybrid inversion driver: encoder bootstrap -> PnP -> scan refinement ->
+metrics report.
+
+Structured port of the reference inversion block
+(/root/reference/run.py:1743-2404): per batch of test images, the
+bootstrap encoder predicts (coords, mask, w); host-side native PnP
+recovers the camera; the scan-compiled Adam loop refines latent + pose;
+metrics (PSNR/SSIM/LPIPS/IoU/rot-error + inception activations) are
+recorded at checkpoint steps {0, N}; results accumulate into a report
+with the reference's schema (report.pth -> report.npz + report.txt).
+
+Host/device choreography: PnP runs on CPU while the previous batch's
+refinement occupies the accelerator (the device work is dispatched
+asynchronously), which is the overlap called for in SURVEY §7.3.5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_from_image_tpu.core import pose as pose_utils
+from nerf_from_image_tpu.invert import optimizer as inv_opt
+from nerf_from_image_tpu.invert import pnp
+from nerf_from_image_tpu.metrics import fid as fid_lib
+from nerf_from_image_tpu.metrics import image as image_metrics
+from nerf_from_image_tpu.models.encoder import BootstrapEncoder
+from nerf_from_image_tpu.models.generator import Generator
+
+REPORT_SCALARS = ('psnr', 'psnr_random', 'lpips', 'lpips_random', 'ssim',
+                  'ssim_random', 'iou', 'rot_error')
+
+
+def make_report(checkpoint_steps) -> Dict[int, Dict[str, list]]:
+    return {
+        step: {
+            'ws': [], 'z0': [], 'R': [], 's': [], 't2': [],
+            'psnr': [], 'psnr_random': [], 'lpips': [], 'lpips_random': [],
+            'ssim': [], 'ssim_random': [], 'iou': [], 'rot_error': [],
+            'inception_activations_front': [],
+            'inception_activations_random': [],
+        } for step in checkpoint_steps
+    }
+
+
+def bootstrap_batch(encoder: BootstrapEncoder, enc_params, target_img,
+                    focal_guesses, z_avg, lr_gain_z: float,
+                    inv_no_split: bool, encoder_apply=None):
+    """Encoder forward + PnP pose (run.py:1959-1984)."""
+    img_nchw = jnp.asarray(target_img)[..., :3].transpose(0, 3, 1, 2)
+    if encoder_apply is None:
+        encoder_apply = jax.jit(
+            lambda p, x: encoder.apply(p, x, deterministic=True))
+    coords, mask, w = encoder_apply(enc_params, img_nchw)
+
+    cam2world, focal, errors = pnp.estimate_poses_batch(
+        np.asarray(coords), np.asarray(mask), focal_guesses)
+
+    bs = img_nchw.shape[0]
+    z_init = jnp.broadcast_to(z_avg, (bs,) + z_avg.shape[1:])
+    z_init = jnp.asarray(w) + 0.0 * z_init[:, :1]  # encoder w overrides
+    if not inv_no_split:
+        # Expand the single w to all num_ws slots.
+        z_init = jnp.broadcast_to(z_init, (bs, z_avg.shape[1],
+                                           z_init.shape[-1]))
+    z_init = z_init / lr_gain_z
+    return (np.asarray(coords), np.asarray(mask), z_init, cam2world, focal,
+            errors)
+
+
+def init_inversion_params(z_init, cam2world, focal, camera_flipped: bool
+                          ) -> inv_opt.InversionParams:
+    z0, t2, s, quat = pose_utils.matrix_to_pose(
+        jnp.asarray(cam2world), None if focal is None else jnp.asarray(focal),
+        camera_flipped)
+    return inv_opt.InversionParams(z=jnp.asarray(z_init), R=quat, s=s, t2=t2,
+                                   z0=z0)
+
+
+@dataclasses.dataclass
+class EvalContext:
+    """Assets used by evaluate_checkpoint."""
+    gen: Generator
+    gen_vars: Any
+    lpips: Any
+    lpips_vars: Any
+    inception_apply: Optional[Any]  # fn(images01_nchw) -> (B, 2048) or None
+    camera_flipped: bool
+    has_mask: bool
+    scene_range: float
+    attention_values: int
+
+
+def evaluate_checkpoint(ctx: EvalContext, cfg: inv_opt.InversionConfig,
+                        params: inv_opt.InversionParams, report_entry,
+                        target_img_fid, target_center_fid, target_bbox_fid,
+                        gt_cam2world, perm_cameras=None,
+                        target_img_random=None, compute_rot_error=True):
+    """Metrics at a checkpoint step (run.py:2020-2195)."""
+    report_entry['ws'].append(np.asarray(params.z) * cfg.lr_gain_z)
+    if params.z0 is not None:
+        report_entry['z0'].append(np.asarray(params.z0))
+    report_entry['R'].append(np.asarray(params.R))
+    report_entry['s'].append(np.asarray(params.s))
+    report_entry['t2'].append(np.asarray(params.t2))
+
+    out, cam, focal = inv_opt.render_from_params(
+        ctx.gen, ctx.gen_vars, params, cfg, center=target_center_fid,
+        bbox=target_bbox_fid)
+    pred = np.asarray(jnp.clip(out.rgb, -1, 1)).transpose(0, 3, 1, 2)
+    target = np.asarray(target_img_fid).transpose(0, 3, 1, 2)
+
+    pred01 = pred[:, :3] / 2 + 0.5
+    target01 = target[:, :3] / 2 + 0.5
+    report_entry['psnr'].append(np.asarray(
+        image_metrics.psnr(jnp.asarray(pred01), jnp.asarray(target01),
+                           reduction='none')))
+    report_entry['ssim'].append(np.asarray(
+        image_metrics.ssim(jnp.asarray(pred01), jnp.asarray(target01),
+                           reduction='none')))
+    if ctx.has_mask and target.shape[1] > 3:
+        report_entry['iou'].append(np.asarray(
+            image_metrics.iou(jnp.asarray(np.asarray(out.mask)),
+                              jnp.asarray(target[:, 3]), reduction='none')))
+    lp = ctx.lpips.apply(ctx.lpips_vars, jnp.asarray(pred[:, :3]),
+                         jnp.asarray(target[:, :3]))
+    report_entry['lpips'].append(np.asarray(lp).flatten())
+    if ctx.inception_apply is not None:
+        report_entry['inception_activations_front'].append(
+            np.asarray(ctx.inception_apply(jnp.asarray(pred01))))
+    if compute_rot_error and gt_cam2world is not None:
+        report_entry['rot_error'].append(np.asarray(
+            pose_utils.rotation_matrix_distance(cam,
+                                                jnp.asarray(gt_cam2world))))
+
+    # Novel-view metrics (run.py:2124-2179).
+    if perm_cameras is not None:
+        perm_cam, perm_focal, perm_center, perm_bbox = perm_cameras
+        ws = params.z * cfg.lr_gain_z
+        if ws.shape[1] == 1:
+            num_ws = 14 + (1 if ctx.gen.attention_values > 0 else 0)
+            ws = jnp.broadcast_to(ws, (ws.shape[0], num_ws, ws.shape[-1]))
+        state = ctx.gen.apply(ctx.gen_vars, ws, method=Generator.synthesize)
+
+        def sample_fn(pts, reqs):
+            return ctx.gen.apply(ctx.gen_vars, state, pts, reqs,
+                                 method=Generator.sample)
+
+        from nerf_from_image_tpu.render import render
+        out_r = render(sample_fn, cfg.resolution, cfg.resolution,
+                       jnp.asarray(perm_cam),
+                       None if perm_focal is None else jnp.asarray(
+                           perm_focal),
+                       None if perm_center is None else jnp.asarray(
+                           perm_center),
+                       None if perm_bbox is None else jnp.asarray(perm_bbox),
+                       cfg.scene_range, cfg.white_background,
+                       cfg.depth_samples_per_ray * cfg.ray_multiplier,
+                       rng=None, fine_sampling=cfg.fine_sampling)
+        pred_r = np.asarray(jnp.clip(out_r.rgb, -1, 1)).transpose(0, 3, 1, 2)
+        pred_r01 = pred_r[:, :3] / 2 + 0.5
+        if target_img_random is not None:
+            tr = np.asarray(target_img_random).transpose(0, 3, 1, 2)
+            tr01 = tr[:, :3] / 2 + 0.5
+            report_entry['psnr_random'].append(np.asarray(
+                image_metrics.psnr(jnp.asarray(pred_r01), jnp.asarray(tr01),
+                                   reduction='none')))
+            report_entry['ssim_random'].append(np.asarray(
+                image_metrics.ssim(jnp.asarray(pred_r01), jnp.asarray(tr01),
+                                   reduction='none')))
+            lp_r = ctx.lpips.apply(ctx.lpips_vars, jnp.asarray(pred_r[:, :3]),
+                                   jnp.asarray(tr[:, :3]))
+            report_entry['lpips_random'].append(np.asarray(lp_r).flatten())
+        if ctx.inception_apply is not None:
+            report_entry['inception_activations_random'].append(
+                np.asarray(ctx.inception_apply(jnp.asarray(pred_r01))))
+
+
+def consolidate_report(report, train_fid_stats=None, test_fid_stats=None):
+    """Final aggregation (run.py:2338-2396). Returns (report, report_str)."""
+    report_str_full = ''
+    for iter_num, entry in report.items():
+        for k in list(entry.keys()):
+            if isinstance(entry[k], list):
+                if len(entry[k]) == 0:
+                    del entry[k]
+                else:
+                    entry[k] = np.concatenate(entry[k], axis=0)
+        report_str = f'[{iter_num} iterations]'
+        for elem in REPORT_SCALARS:
+            if elem in entry:
+                val = float(np.mean(entry[elem]))
+                report_str += f' {elem} {val:.05f}'
+                entry[f'{elem}_avg'] = val
+
+        def add_fid(src_key, dst_key):
+            nonlocal report_str
+            if src_key not in entry or train_fid_stats is None:
+                entry.pop(src_key, None)
+                return
+            stats = fid_lib.calculate_stats(entry[src_key])
+            val = fid_lib.calculate_frechet_distance(*stats,
+                                                     *train_fid_stats)
+            entry[dst_key] = val
+            report_str += f' {dst_key} {val:.02f}'
+            if test_fid_stats is not None:
+                val_t = fid_lib.calculate_frechet_distance(*stats,
+                                                           *test_fid_stats)
+                entry[dst_key + '_test'] = val_t
+                report_str += f' {dst_key}_test {val_t:.02f}'
+            del entry[src_key]
+
+        add_fid('inception_activations_front', 'fid_front')
+        add_fid('inception_activations_random', 'fid_random')
+        report_str_full += report_str + '\n'
+    return report, report_str_full
+
+
+def save_report(report, report_str: str, out_dir: str, header: str = ''):
+    os.makedirs(out_dir, exist_ok=True)
+    flat = {}
+    for step, entry in report.items():
+        for k, v in entry.items():
+            if isinstance(v, np.ndarray):
+                flat[f'{step}/{k}'] = v
+            else:
+                flat[f'{step}/{k}'] = np.asarray(v)
+    np.savez_compressed(os.path.join(out_dir, 'report.npz'), **flat)
+    with open(os.path.join(out_dir, 'report.txt'), 'w') as f:
+        if header:
+            f.write(header + '\n')
+        f.write(report_str)

@@ -1,0 +1,68 @@
+"""Scalar/image logging: JSONL always, TensorBoard when available.
+
+Mirrors the reference's tensorboard usage (run.py:100, 1783; tag families
+documented in SURVEY §5) while remaining dependency-light: every scalar
+goes to `scalars.jsonl` in the log dir, and to TensorBoard via
+torch.utils.tensorboard when torch is importable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class SummaryWriter:
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, 'scalars.jsonl'), 'a')
+        self._tb = None
+        try:
+            from torch.utils import tensorboard
+            self._tb = tensorboard.SummaryWriter(log_dir)
+        except Exception:
+            pass
+
+    def add_scalar(self, tag: str, value, step: int):
+        value = float(value)
+        self._jsonl.write(json.dumps({'tag': tag, 'value': value,
+                                      'step': int(step),
+                                      'time': time.time()}) + '\n')
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def add_images(self, tag: str, images, step: int):
+        """images: (N, C, H, W) in [0, 1]."""
+        if self._tb is not None:
+            import torch
+            self._tb.add_images(tag, torch.from_numpy(np.asarray(images)),
+                                step)
+        else:
+            # Fall back to PNG dumps.
+            try:
+                from PIL import Image
+                arr = np.asarray(images)
+                arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+                strip = arr.transpose(0, 2, 3, 1).reshape(
+                    -1, arr.shape[3], arr.shape[1])
+                out = os.path.join(self.log_dir,
+                                   f'{tag.replace("/", "_")}_{step}.png')
+                Image.fromarray(strip.squeeze()).save(out)
+            except Exception:
+                pass
+
+    def flush(self):
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.flush()
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

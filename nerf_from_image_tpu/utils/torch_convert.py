@@ -1,0 +1,322 @@
+"""Converts reference PyTorch checkpoints to this framework's param trees.
+
+Covers the weight spaces the reference ships or downloads
+(SURVEY §7.3.1): the triplane Generator/EMA + Discriminator
+(gan_checkpoints/*.pth), the SegFormer MiT-B5 backbone + BootstrapEncoder
+heads (coords_checkpoints/*.pth, mit_b5.pth), LPIPS-VGG, and the FID
+InceptionV3. Pure numpy transforms on state-dict arrays; torch is only
+needed to unpickle .pth files.
+
+Layout conventions:
+  torch Linear weight (out, in)      -> EqualizedLinear 'weight' (out, in)
+  torch Linear -> flax Dense kernel  -> transpose to (in, out)
+  torch Conv (out, in, kh, kw)       -> flax Conv kernel (kh, kw, in, out)
+  EqualizedConv2d keeps torch layout (out, in, kh, kw).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, 'detach'):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    with open(path, 'rb') as f:
+        obj = torch.load(f, map_location='cpu', weights_only=False)
+    if isinstance(obj, dict) and 'state_dict' in obj:
+        obj = obj['state_dict']
+    return {k: _np(v) for k, v in obj.items()}
+
+
+def _dense(sd, key):
+    return {'kernel': sd[f'{key}.weight'].T, 'bias': sd[f'{key}.bias']}
+
+
+def _dense_nobias(sd, key):
+    return {'kernel': sd[f'{key}.weight'].T}
+
+
+def _conv(sd, key, bias=True):
+    out = {'kernel': sd[f'{key}.weight'].transpose(2, 3, 1, 0)}
+    if bias:
+        out['bias'] = sd[f'{key}.bias']
+    return out
+
+
+def _eq_linear(sd, key, bias=True):
+    out = {'weight': sd[f'{key}.weight']}
+    if bias and f'{key}.bias' in sd:
+        out['bias'] = sd[f'{key}.bias']
+    return out
+
+
+def _eq_conv(sd, key, bias=True):
+    out = {'weight': sd[f'{key}.weight']}
+    if bias and f'{key}.bias' in sd:
+        out['bias'] = sd[f'{key}.bias']
+    return out
+
+
+def _layernorm(sd, key):
+    return {'scale': sd[f'{key}.weight'], 'bias': sd[f'{key}.bias']}
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+def convert_generator(sd: Dict[str, np.ndarray],
+                      attention_values: int = 10,
+                      use_viewdir: bool = False,
+                      use_sdf: bool = True,
+                      plane_resolution: int = 256) -> Dict[str, Any]:
+    """Reference Generator state_dict -> flax {'params': ...} tree."""
+    p: Dict[str, Any] = {}
+
+    # Mapping network (2 layers).
+    mn = {}
+    idx = 0
+    while f'mapping_network.backbone.fc{idx}.weight' in sd:
+        mn[f'fc{idx}'] = _eq_linear(sd, f'mapping_network.backbone.fc{idx}')
+        idx += 1
+    p['mapping_network'] = mn
+
+    # Synthesis network.
+    syn: Dict[str, Any] = {}
+    resolutions = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.match(r'synthesis_network\.b(\d+)\.', k))
+    })
+    for res in resolutions:
+        blk: Dict[str, Any] = {}
+        base = f'synthesis_network.b{res}'
+        if f'{base}.const' in sd:
+            blk['const'] = sd[f'{base}.const']
+        for conv in ('conv0', 'conv1'):
+            if f'{base}.{conv}.weight' not in sd:
+                continue
+            c = {
+                'weight': sd[f'{base}.{conv}.weight'],
+                'bias': sd[f'{base}.{conv}.bias'],
+                'affine': _eq_linear(sd, f'{base}.{conv}.affine'),
+            }
+            if f'{base}.{conv}.noise_strength' in sd:
+                c['noise_strength'] = sd[f'{base}.{conv}.noise_strength']
+            blk[conv] = c
+        blk['torgb'] = {
+            'weight': sd[f'{base}.torgb.weight'],
+            'bias': sd[f'{base}.torgb.bias'],
+            'affine': _eq_linear(sd, f'{base}.torgb.affine'),
+        }
+        syn[f'b{res}'] = blk
+    p['synthesis_network'] = syn
+
+    # Triplanar decoder (net.0 / net.2).
+    p['decoder'] = {
+        'fc0': _eq_linear(sd, 'decoder.net.0'),
+        'fc1': _eq_linear(sd, 'decoder.net.2'),
+    }
+
+    if use_sdf:
+        p['beta'] = sd['beta']
+        p['alpha'] = sd['alpha']
+
+    if attention_values > 0:
+        tm: Dict[str, Any] = {'const': sd['texture_mapper.const']}
+        for i in range(1, 5):
+            tm[f'fc{i}'] = _eq_linear(sd, f'texture_mapper.fc{i}', bias=False)
+            tm[f'norm{i}'] = {
+                'fc_gamma': _eq_linear(sd, f'texture_mapper.norm{i}.fc_gamma'),
+                'fc_beta': _eq_linear(sd, f'texture_mapper.norm{i}.fc_beta'),
+            }
+        tm['fc5'] = _eq_linear(sd, 'texture_mapper.fc5')
+        tm['fc_values'] = _eq_linear(sd, 'texture_mapper.fc_values')
+        p['texture_mapper'] = tm
+
+    if use_viewdir:
+        vm: Dict[str, Any] = {}
+        for i in range(7):
+            has_bias = f'viewdir_mapper.fc{i}.bias' in sd
+            vm[f'fc{i}'] = _eq_linear(sd, f'viewdir_mapper.fc{i}',
+                                      bias=has_bias)
+        for i in range(1, 5):
+            vm[f'norm{i}'] = _layernorm(sd, f'viewdir_mapper.norm{i}')
+        vm['output'] = _eq_linear(sd, 'viewdir_mapper.output')
+        p['viewdir_mapper'] = vm
+
+    return {'params': p}
+
+
+# ---------------------------------------------------------------------------
+# Discriminator
+# ---------------------------------------------------------------------------
+
+def convert_discriminator(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    p: Dict[str, Any] = {}
+    bb: Dict[str, Any] = {}
+    resolutions = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.match(r'backbone\.b(\d+)\.', k))
+    })
+    for res in resolutions:
+        base = f'backbone.b{res}'
+        blk: Dict[str, Any] = {}
+        if res == 4:
+            blk['conv'] = _eq_conv(sd, f'{base}.conv')
+            blk['fc'] = _eq_linear(sd, f'{base}.fc')
+            blk['out'] = _eq_linear(sd, f'{base}.out')
+        else:
+            if f'{base}.fromrgb.weight' in sd:
+                blk['fromrgb'] = _eq_conv(sd, f'{base}.fromrgb')
+            blk['conv0'] = _eq_conv(sd, f'{base}.conv0')
+            blk['conv1'] = _eq_conv(sd, f'{base}.conv1')
+            blk['skip'] = _eq_conv(sd, f'{base}.skip', bias=False)
+        bb[f'b{res}'] = blk
+    if 'backbone.mapping.fc0.weight' in sd:
+        mp = {}
+        idx = 0
+        while f'backbone.mapping.fc{idx}.weight' in sd:
+            mp[f'fc{idx}'] = _eq_linear(sd, f'backbone.mapping.fc{idx}')
+            idx += 1
+        bb['mapping'] = mp
+    p['backbone'] = bb
+    return {'params': p}
+
+
+# ---------------------------------------------------------------------------
+# SegFormer / BootstrapEncoder
+# ---------------------------------------------------------------------------
+
+def convert_segformer(sd: Dict[str, np.ndarray],
+                      prefix: str = '') -> Dict[str, Any]:
+    """mit_b5-style state dict -> flax Segformer params."""
+    g = lambda k: sd[prefix + k]
+    p: Dict[str, Any] = {}
+    depths = []
+    for i in range(1, 5):
+        d = 0
+        while f'{prefix}block{i}.{d}.norm1.weight' in sd:
+            d += 1
+        depths.append(d)
+    for i in range(1, 5):
+        p[f'patch_embed{i}'] = {
+            'proj': _conv(sd, f'{prefix}patch_embed{i}.proj'),
+            'norm': _layernorm(sd, f'{prefix}patch_embed{i}.norm'),
+        }
+        for j in range(depths[i - 1]):
+            base = f'{prefix}block{i}.{j}'
+            attn = {
+                'q': _dense(sd, f'{base}.attn.q'),
+                'kv': _dense(sd, f'{base}.attn.kv'),
+                'proj': _dense(sd, f'{base}.attn.proj'),
+            }
+            if f'{base}.attn.sr.weight' in sd:
+                attn['sr'] = _conv(sd, f'{base}.attn.sr')
+                attn['norm'] = _layernorm(sd, f'{base}.attn.norm')
+            p[f'block{i}_{j}'] = {
+                'norm1': _layernorm(sd, f'{base}.norm1'),
+                'norm2': _layernorm(sd, f'{base}.norm2'),
+                'attn': attn,
+                'mlp': {
+                    'fc1': _dense(sd, f'{base}.mlp.fc1'),
+                    'fc2': _dense(sd, f'{base}.mlp.fc2'),
+                    'dwconv': {
+                        'dwconv': _conv(sd, f'{base}.mlp.dwconv.dwconv'),
+                    },
+                },
+            }
+        p[f'norm{i}'] = _layernorm(sd, f'{prefix}norm{i}')
+    # Decode head (present in trained encoders, absent in mit_b5 weights).
+    for i in range(1, 5):
+        if f'{prefix}linear_c{i}.proj.weight' in sd:
+            p[f'linear_c{i}'] = _dense(sd, f'{prefix}linear_c{i}.proj')
+    if f'{prefix}linear_fuse.weight' in sd:
+        p['linear_fuse'] = _conv(sd, f'{prefix}linear_fuse')
+    if f'{prefix}linear_pred.weight' in sd:
+        p['linear_pred'] = _conv(sd, f'{prefix}linear_pred')
+    return p
+
+
+def convert_bootstrap_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference BootstrapEncoder state dict (optionally DataParallel
+    'module.'-prefixed) -> flax params."""
+    if any(k.startswith('module.') for k in sd):
+        sd = {k[len('module.'):]: v for k, v in sd.items()}
+    p: Dict[str, Any] = {'backbone': convert_segformer(sd, 'backbone.')}
+    if 'backbone_latent.patch_embed1.proj.weight' in sd:
+        p['backbone_latent'] = convert_segformer(sd, 'backbone_latent.')
+    if 'post.0.weight' in sd:
+        p['post0'] = _conv(sd, 'post.0')
+        p['post1'] = _conv(sd, 'post.2')
+        p['post2'] = _conv(sd, 'post.4')
+    if 'w_regressor_pre.0.weight' in sd:
+        p['w_pre'] = _conv(sd, 'w_regressor_pre.0')
+        p['w_post0'] = _dense(sd, 'w_regressor_post.0')
+        p['w_post1'] = _dense(sd, 'w_regressor_post.2')
+    return {'params': p}
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (VGG16) and InceptionV3 (FID)
+# ---------------------------------------------------------------------------
+
+_VGG_CONV_FEATURE_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_VGG_SLICES = ((0, 1), (2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12))
+
+
+def convert_lpips(vgg_sd: Dict[str, np.ndarray],
+                  lin_sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision vgg16 `features.*` weights + lpips `lin*` weights ->
+    flax LPIPS params."""
+    p: Dict[str, Any] = {'net': {}}
+    for ci, fi in enumerate(_VGG_CONV_FEATURE_IDX):
+        key = f'features.{fi}'
+        if f'{key}.weight' not in vgg_sd:
+            # lpips package stores as net.slice{n}.{fi}.weight.
+            slice_idx = next(si for si, convs in enumerate(_VGG_SLICES)
+                             if ci in convs)
+            key = f'net.slice{slice_idx + 1}.{fi}'
+        p['net'][f'conv{ci}'] = _conv(vgg_sd, key)
+    for i in range(5):
+        w = lin_sd.get(f'lin{i}.model.1.weight',
+                       lin_sd.get(f'lins.{i}.model.1.weight'))
+        assert w is not None, f'missing lin{i} weights'
+        p[f'lin{i}'] = {'kernel': w.transpose(2, 3, 1, 0)}
+    return {'params': p}
+
+
+def convert_inception(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """pytorch-fid FID-Inception state dict -> flax params+batch_stats."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    convs = sorted({k.rsplit('.conv.weight', 1)[0] for k in sd
+                    if k.endswith('.conv.weight')})
+    for base in convs:
+        parts = base.split('.')
+        # e.g. 'Mixed_5b.branch1x1' -> params['Mixed_5b']['branch1x1'].
+        node_p, node_s = params, stats
+        for part in parts[:-1]:
+            node_p = node_p.setdefault(part, {})
+            node_s = node_s.setdefault(part, {})
+        leaf = parts[-1]
+        node_p[leaf] = {
+            'conv': {'kernel': sd[f'{base}.conv.weight'].transpose(2, 3, 1,
+                                                                   0)},
+            'bn_scale': sd[f'{base}.bn.weight'],
+            'bn_bias': sd[f'{base}.bn.bias'],
+        }
+        node_s[leaf] = {
+            'mean': sd[f'{base}.bn.running_mean'],
+            'var': sd[f'{base}.bn.running_var'],
+        }
+    return {'params': params, 'batch_stats': stats}

@@ -1,0 +1,66 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_from_image_tpu.metrics import image as metrics
+
+
+def test_psnr_known_values():
+    pred = jnp.zeros((2, 3, 8, 8))
+    target = jnp.full((2, 3, 8, 8), 0.1)
+    # MSE = 0.01 -> PSNR = 20 dB.
+    out = metrics.psnr(pred, target, reduction='none')
+    np.testing.assert_allclose(np.asarray(out), 20.0, rtol=1e-5)
+    # Identical images clamp at 60 dB.
+    out2 = metrics.psnr(target, target, reduction='none')
+    np.testing.assert_allclose(np.asarray(out2), 60.0)
+    assert float(metrics.psnr(pred, target)) == pytest.approx(20.0, rel=1e-5)
+
+
+def test_ssim_self_is_one_and_degrades():
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 3, 32, 32).astype(np.float32))
+    s_self = float(metrics.ssim(img, img))
+    assert s_self == pytest.approx(1.0, abs=1e-5)
+    noisy = jnp.clip(img + rng.randn(2, 3, 32, 32).astype(np.float32) * 0.1,
+                     0, 1)
+    noisier = jnp.clip(img + rng.randn(2, 3, 32, 32).astype(np.float32) * 0.3,
+                       0, 1)
+    s1 = float(metrics.ssim(img, noisy))
+    s2 = float(metrics.ssim(img, noisier))
+    assert 0 < s2 < s1 < 1.0
+
+
+def test_ssim_matches_skimage_if_available():
+    skimage_metrics = pytest.importorskip('skimage.metrics')
+    rng = np.random.RandomState(1)
+    a = rng.rand(1, 3, 40, 40).astype(np.float32)
+    b = np.clip(a + rng.randn(1, 3, 40, 40).astype(np.float32) * 0.1, 0, 1)
+    ours = float(metrics.ssim(jnp.asarray(a), jnp.asarray(b)))
+    ref = skimage_metrics.structural_similarity(
+        a.reshape(3, 40, 40), b.reshape(3, 40, 40), channel_axis=0,
+        data_range=1.0)
+    assert ours == pytest.approx(ref, abs=1e-4)
+
+
+def test_iou():
+    a = np.zeros((2, 8, 8), np.float32)
+    b = np.zeros((2, 8, 8), np.float32)
+    a[:, :4] = 1.0
+    b[:, 2:6] = 1.0
+    out = metrics.iou(jnp.asarray(a), jnp.asarray(b), reduction='none')
+    # Intersection 2 rows, union 6 rows.
+    np.testing.assert_allclose(np.asarray(out), 2.0 / 6.0, rtol=1e-5)
+
+
+def test_fid_distance_zero_for_identical_stats():
+    from nerf_from_image_tpu.metrics import fid
+    rng = np.random.RandomState(0)
+    act = rng.randn(500, 16)
+    mu, sigma = fid.calculate_stats(act)
+    d = fid.calculate_frechet_distance(mu, sigma, mu, sigma)
+    assert abs(d) < 1e-6
+    act2 = rng.randn(500, 16) + 1.0
+    mu2, sigma2 = fid.calculate_stats(act2)
+    d2 = fid.calculate_frechet_distance(mu, sigma, mu2, sigma2)
+    assert d2 > 1.0
