@@ -1,0 +1,349 @@
+"""Inversion CLI: the --run_inversion workload end to end.
+
+Mirrors /root/reference/run.py:1743-2404: config string + report dir,
+encoder load-or-train, focal guesses, eval index/view permutations, the
+batched loop (bootstrap -> PnP -> scan-refine -> per-checkpoint metrics),
+mid-run report checkpointing every 512 images, and the final consolidated
+report (+ optional demo strip export).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def compute_view_perm(target_img_indices, views_per_object,
+                      rng: np.random.RandomState):
+    """Matches each index to another view of the same object
+    (run.py:443-474)."""
+    if views_per_object == 1:
+        return target_img_indices[rng.permutation(len(target_img_indices))]
+    obj_index = {}
+    for idx in target_img_indices:
+        obj_index.setdefault(int(idx) // views_per_object, []).append(
+            int(idx))
+    perm = []
+    for idx in target_img_indices:
+        views = obj_index[int(idx) // views_per_object]
+        if len(views) == 1:
+            perm.append(views[0])
+        else:
+            while True:
+                cand = views[rng.randint(len(views))]
+                if cand != int(idx):
+                    perm.append(cand)
+                    break
+    return np.asarray(perm)
+
+
+def build_eval_indices(split, n_images_fid_max, views_per_object,
+                       rng: np.random.RandomState):
+    n = len(split.images)
+    if n > n_images_fid_max:
+        idx = np.sort(rng.permutation(n)[:n_images_fid_max])
+    else:
+        idx = np.arange(n)
+    split.eval_indices = idx
+    split.eval_indices_perm = compute_view_perm(idx, views_per_object, rng)
+
+
+def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
+                      train_eval_split, test_split, mesh, report_dir,
+                      experiment_name):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_from_image_tpu.invert import optimizer as inv_opt
+    from nerf_from_image_tpu.invert import pipeline as pipe
+    from nerf_from_image_tpu.invert import pnp
+    from nerf_from_image_tpu.models.encoder import BootstrapEncoder
+    from nerf_from_image_tpu.models.generator import Generator
+    from nerf_from_image_tpu.models.lpips import LPIPS
+    from nerf_from_image_tpu.train import gan as gan_lib
+    from nerf_from_image_tpu.utils import checkpoint as ckpt_lib
+    from nerf_from_image_tpu.utils.logging import SummaryWriter
+
+    use_testset = args.inv_use_testset
+    lr_gain_z = args.inv_gain_z
+    n_devices = len(mesh.devices.flatten())
+    if args.inv_manual_input_path:
+        batch_size = 1
+    else:
+        batch_size = max(args.batch_size // 4, 1) * max(n_devices // 4, 1)
+        batch_size = max(batch_size, n_devices)
+
+    # Config string (run.py:1760-1777).
+    if args.dataset == 'p3d_car' and use_testset:
+        split_str = ('imagenettest' if args.inv_use_imagenet_testset
+                     else 'test')
+    else:
+        split_str = 'test' if use_testset else 'train'
+    mode_str = '_separate' if args.inv_use_separate else '_joint'
+    mode_str += '_nooptpose' if args.inv_no_optimize_pose else '_optpose'
+    w_split_str = 'nosplit' if args.inv_no_split else 'split'
+    cfg_xid = f'_{args.xid}' if args.xid else ''
+    cfg_string = (f'i{cfg_xid}_{split_str}{mode_str}_{args.inv_loss}'
+                  f'_gain{lr_gain_z}_{w_split_str}')
+    print('Config string:', cfg_string)
+
+    report_dir_eff = os.path.join(report_dir, args.resume_from or
+                                  experiment_name, cfg_string)
+    os.makedirs(report_dir_eff, exist_ok=True)
+    writer = SummaryWriter(report_dir_eff)
+
+    gen, _ = gan_lib.make_models(gan_cfg)
+    gen_vars = state.ema_params_g
+
+    # Encoder: load or train (run.py:1785-1808).
+    encoder = BootstrapEncoder(latent_dim=args.latent_dim,
+                               separate_backbones=args.inv_use_separate)
+    coords_dir = os.path.join(args.root_path, 'coords_checkpoints',
+                              args.resume_from or experiment_name)
+    enc_ckpt = ckpt_lib.CheckpointManager(coords_dir)
+    enc_params = None
+    if args.coord_resume_from and enc_ckpt.exists(args.coord_resume_from):
+        target = jax.eval_shape(
+            lambda k: encoder.init(k, jnp.zeros((1, 3, args.resolution,
+                                                 args.resolution))),
+            jax.random.PRNGKey(0))
+        target = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), target)
+        enc_params = enc_ckpt.restore(target, args.coord_resume_from)
+    else:
+        from nerf_from_image_tpu.cli.train_encoder import \
+            train_coord_regressor
+        enc_params = train_coord_regressor(args, gan_cfg, gen, gen_vars,
+                                           train_split, mesh, enc_ckpt,
+                                           writer)
+        if args.inv_train_coord_only:
+            print('Exit after encoder training.')
+            return
+
+    focal_guesses = pnp.get_focal_guesses(train_split.focal_length)
+
+    # Eval indices (run.py:413-499).
+    rng = np.random.RandomState(1234)
+    n_images_fid_max = 8000
+    vpo = dataset_config['views_per_object']
+    build_eval_indices(train_eval_split, n_images_fid_max, vpo, rng)
+    if use_testset and test_split is not None:
+        build_eval_indices(test_split, n_images_fid_max,
+                           dataset_config['views_per_object_test'], rng)
+
+    split = test_split if use_testset else train_eval_split
+    image_indices = split.eval_indices
+    image_indices_perm = split.eval_indices_perm
+
+    if args.inv_export_demo_sample and not args.inv_manual_input_path:
+        shuffle = np.random.RandomState(1).permutation(len(image_indices))
+        image_indices = image_indices[shuffle]
+        image_indices_perm = image_indices_perm[shuffle]
+
+    if args.inv_encoder_only:
+        checkpoint_steps = [0]
+    elif args.inv_steps:
+        checkpoint_steps = [0, args.inv_steps]
+    elif lr_gain_z >= 10:
+        checkpoint_steps = [0, 10]
+    else:
+        checkpoint_steps = [0, 30]
+    niter = max(checkpoint_steps)
+
+    inv_cfg = inv_opt.InversionConfig(
+        resolution=args.resolution,
+        depth_samples_per_ray=64 if args.fine_sampling else 128,
+        fine_sampling=args.fine_sampling,
+        ray_multiplier=1 if args.fine_sampling else 4,
+        scene_range=dataset_config['scene_range'],
+        white_background=dataset_config['white_background'],
+        camera_flipped=dataset_config['camera_flipped'],
+        lr_gain_z=float(lr_gain_z),
+        loss_type=args.inv_loss,
+        optimize_pose=not args.inv_no_optimize_pose)
+
+    lpips = LPIPS()
+    lpips_vars = load_lpips_vars(args, lpips)
+    inception_apply = load_inception_apply(args)
+
+    num_ws = 14 + (1 if args.attention_values > 0 else 0)
+    z_avg = np.asarray(
+        gen.apply(gen_vars, jax.random.PRNGKey(1234), 10000,
+                  method=Generator.average_w))
+    z_avg = np.broadcast_to(z_avg, (1, num_ws, z_avg.shape[-1]))
+
+    ctx = pipe.EvalContext(
+        gen=gen, gen_vars=gen_vars, lpips=lpips, lpips_vars=lpips_vars,
+        inception_apply=inception_apply,
+        camera_flipped=dataset_config['camera_flipped'],
+        has_mask=dataset_config['has_mask'],
+        scene_range=dataset_config['scene_range'],
+        attention_values=args.attention_values)
+
+    report = pipe.make_report(checkpoint_steps)
+    encoder_apply = jax.jit(lambda p, x: encoder.apply(p, x,
+                                                       deterministic=True))
+
+    run_scan = None
+    if niter > 0:
+        run_scan = jax.jit(lambda p, t, k: inv_opt.run_inversion(
+            gen, gen_vars, lpips, lpips_vars, p, t, inv_cfg, niter, k))
+
+    idx = 0
+    key = jax.random.PRNGKey(4321)
+    while idx < len(image_indices):
+        t1 = time.time()
+        sel = image_indices[idx:idx + batch_size]
+        sel_perm = image_indices_perm[idx:idx + batch_size]
+        if len(sel) < batch_size:
+            # Straggler: pad to batch, mask out extras at report time.
+            pad = batch_size - len(sel)
+            sel = np.concatenate([sel, sel[-1:].repeat(pad)])
+            sel_perm = np.concatenate([sel_perm, sel_perm[-1:].repeat(pad)])
+            valid = len(image_indices) - idx
+        else:
+            valid = batch_size
+
+        target_img = split.images[sel]
+        target_img_fid = target_img
+        gt_cam2world = split.tform_cam2world[sel]
+
+        perm_split = (train_eval_split
+                      if use_testset and 'p3d' in args.dataset
+                      else split)
+        perm_cam = perm_split.tform_cam2world[sel_perm]
+        perm_focal = (None if perm_split.focal_length is None
+                      else perm_split.focal_length[sel_perm])
+        perm_center = None
+        perm_bbox = (None if perm_split.bbox is None
+                     else perm_split.bbox[sel_perm])
+        target_img_random = (perm_split.images[sel_perm]
+                             if (use_testset and dataset_config[
+                                 'views_per_object_test'] or
+                                 not use_testset and vpo) else None)
+
+        # Bootstrap: encoder + PnP (host) -------------------------------
+        coords, mask, z_init, cam2world, focal, _ = pipe.bootstrap_batch(
+            encoder, enc_params, target_img, focal_guesses,
+            jnp.asarray(z_avg), float(lr_gain_z), args.inv_no_split,
+            encoder_apply)
+        params = pipe.init_inversion_params(
+            z_init, cam2world, focal, dataset_config['camera_flipped'])
+
+        if 0 in report:
+            pipe.evaluate_checkpoint(
+                ctx, inv_cfg, params, report[0], target_img_fid, None, None,
+                gt_cam2world,
+                perm_cameras=(perm_cam, perm_focal, perm_center, perm_bbox),
+                target_img_random=target_img_random,
+                compute_rot_error=not (args.dataset == 'p3d_car' and
+                                       use_testset))
+
+        if niter > 0:
+            key, sub = jax.random.split(key)
+            params, scan_metrics = run_scan(
+                params, jnp.asarray(target_img[..., :3]), sub)
+            pipe.evaluate_checkpoint(
+                ctx, inv_cfg, params, report[niter], target_img_fid, None,
+                None, gt_cam2world,
+                perm_cameras=(perm_cam, perm_focal, perm_center, perm_bbox),
+                target_img_random=target_img_random,
+                compute_rot_error=not (args.dataset == 'p3d_car' and
+                                       use_testset))
+
+        t2 = time.time()
+        idx += valid
+        print(f'[{idx}/{len(image_indices)}] batch in {t2 - t1:.2f} s '
+              f'({(t2 - t1) / valid:.2f} s/img)')
+
+        if args.inv_export_demo_sample:
+            export_demo(args, ctx, inv_cfg, params, target_img, coords,
+                        mask, dataset_config, niter)
+            break
+
+        if idx % 512 == 0:
+            np.savez(os.path.join(report_dir_eff, 'report_checkpoint.npz'),
+                     idx=idx)
+
+    if not args.inv_export_demo_sample:
+        report, report_str = pipe.consolidate_report(
+            report, train_eval_split.fid_stats,
+            test_split.fid_stats if use_testset and test_split is not None
+            else None)
+        print(report_str)
+        pipe.save_report(report, report_str, report_dir_eff,
+                         header=f'{args.resume_from}\n{cfg_string}')
+
+
+def load_lpips_vars(args, lpips):
+    """Loads converted LPIPS weights if present, else random init
+    (parity requires the converted weights; random is only a fallback so
+    the pipeline runs without the asset)."""
+    import jax
+    import jax.numpy as jnp
+    from nerf_from_image_tpu.utils import checkpoint as ckpt_lib
+
+    path = os.path.join(args.root_path, 'weights', 'lpips_vgg')
+    init = jax.jit(lpips.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 3, 64, 64)),
+                               jnp.zeros((1, 3, 64, 64)))
+    if os.path.exists(path):
+        return ckpt_lib.restore_pytree(path, init)
+    print('WARNING: LPIPS weights not found at', path,
+          '- using random init (convert with scripts/convert_weights.py)')
+    return init
+
+
+def load_inception_apply(args):
+    import jax
+    import jax.numpy as jnp
+    from nerf_from_image_tpu.models.inception import InceptionV3FID
+    from nerf_from_image_tpu.utils import checkpoint as ckpt_lib
+
+    path = os.path.join(args.root_path, 'weights', 'inception_fid')
+    if not os.path.exists(path):
+        print('WARNING: Inception weights not found at', path,
+              '- FID reporting disabled')
+        return None
+    net = InceptionV3FID()
+    init = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0),
+                                           jnp.zeros((1, 3, 64, 64))))
+    init = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                  init)
+    variables = ckpt_lib.restore_pytree(path, init)
+    return jax.jit(lambda x: net.apply(variables, x))
+
+
+def export_demo(args, ctx, inv_cfg, params, target_img, coords, mask,
+                dataset_config, it):
+    """Exports the side-by-side demo strip (run.py:2058-2159)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from nerf_from_image_tpu.invert import optimizer as inv_opt
+
+    out, cam, focal = inv_opt.render_from_params(
+        ctx.gen, ctx.gen_vars, params, inv_cfg,
+        compute_normals=ctx.attention_values >= 0 and False)
+    recon = np.asarray(jnp.clip(out.rgb, -1, 1))
+
+    strips = [np.asarray(target_img)[..., :3]]
+    if coords is not None:
+        coords_img = coords * mask[..., None] / dataset_config['scene_range']
+        coords_img = np.clip(coords_img, -1, 1)
+        if dataset_config['white_background']:
+            coords_img = coords_img + (1 - mask[..., None])
+        strips.append(coords_img)
+    strips.append(recon)
+    strip = np.concatenate(strips, axis=2) / 2 + 0.5
+
+    os.makedirs('outputs', exist_ok=True)
+    name = ('demo_manual' if args.inv_manual_input_path else 'sample')
+    out_path = os.path.join('outputs', f'{name}_{args.dataset}_{it}it.png')
+    from PIL import Image
+    img8 = (np.clip(strip.reshape(-1, strip.shape[2], 3), 0, 1) *
+            255).astype(np.uint8)
+    Image.fromarray(img8).save(out_path)
+    print('Saved demo output to', out_path)

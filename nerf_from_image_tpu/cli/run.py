@@ -1,0 +1,158 @@
+"""Flag-compatible entry point (the reference's run.py equivalent).
+
+Preserves the reference CLI surface (--run_inversion,
+--inv_export_demo_sample, --inv_steps, --inv_encoder_only,
+--inv_manual_input_path, --resume_from, --dataset, --batch_size, ...;
+/root/reference/run.py:42-174) on top of the TPU-native stack: device
+count comes from the JAX mesh, training state checkpoints via orbax, and
+the three workloads (GAN training, encoder distillation, hybrid
+inversion) run through the train/ and invert/ modules.
+
+Usage: python -m nerf_from_image_tpu.cli.run --dataset p3d_car ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_from_image_tpu import config as config_lib
+    from nerf_from_image_tpu.data import loaders
+    from nerf_from_image_tpu.parallel import mesh as mesh_lib
+    from nerf_from_image_tpu.train import gan as gan_lib
+    from nerf_from_image_tpu.train import loop as loop_lib
+    from nerf_from_image_tpu.utils import checkpoint as ckpt_lib
+    from nerf_from_image_tpu.utils.logging import SummaryWriter
+
+    args = config_lib.parse_args(argv)
+
+    if args.inv_manual_input_path:
+        args.inv_export_demo_sample = True
+    if args.inv_export_demo_sample:
+        args.run_inversion = True
+
+    if args.dataset == 'autodetect':
+        assert args.resume_from, '--dataset autodetect needs --resume_from'
+        args.dataset = config_lib.autodetect_dataset(args.resume_from)
+
+    experiment_name = config_lib.suggest_experiment_name(args)
+    checkpoint_dir = os.path.join(args.root_path, 'gan_checkpoints',
+                                  experiment_name)
+    tensorboard_dir = os.path.join(args.root_path, 'gan_logs',
+                                   experiment_name)
+    report_dir = os.path.join(args.root_path, 'reports')
+    print('Experiment name:', experiment_name)
+    print('Devices:', jax.devices())
+
+    mesh = mesh_lib.create_mesh(args.mesh_shape)
+    dtype = jnp.bfloat16 if args.compute_dtype == 'bfloat16' else jnp.float32
+
+    manual_image = None
+    if args.inv_manual_input_path:
+        from nerf_from_image_tpu.cli.demo import load_manual_image
+        manual_image = load_manual_image(
+            args.inv_manual_input_path,
+            config_lib.get_coco_mapping()[args.dataset])
+
+    print('Loading data...')
+    dataset_config, train_split, train_eval_split, test_split = \
+        loaders.load_dataset(args, manual_image)
+
+    if args.perturb_poses > 0:
+        from nerf_from_image_tpu.core import pose as pose_utils
+        out = pose_utils.perturb_poses(train_split.tform_cam2world,
+                                       args.perturb_poses,
+                                       train_split.focal_length,
+                                       train_split.bbox)
+        (train_split.tform_cam2world, train_split.focal_length,
+         train_split.bbox) = out
+        if (train_eval_split.tform_cam2world.shape ==
+                train_split.tform_cam2world.shape):
+            train_eval_split.tform_cam2world = train_split.tform_cam2world
+            train_eval_split.focal_length = train_split.focal_length
+            train_eval_split.bbox = train_split.bbox
+
+    cfg = gan_lib.GANConfig(
+        resolution=args.resolution,
+        latent_dim=args.latent_dim,
+        depth_samples_per_ray=64 if args.fine_sampling else 128,
+        fine_sampling=args.fine_sampling,
+        scene_range=dataset_config['scene_range'],
+        white_background=dataset_config['white_background'],
+        camera_flipped=dataset_config['camera_flipped'],
+        supervise_alpha=args.supervise_alpha,
+        conditional_pose=args.conditional_pose,
+        use_sdf=args.use_sdf,
+        attention_values=args.attention_values,
+        use_viewdir=args.use_viewdir,
+        r1=args.r1, tv=args.tv, entropy=args.entropy, eikonal=args.eikonal,
+        path_length_regularization=args.path_length_regularization,
+        augment_ada=args.augment_ada, augment_p_max=args.augment_p,
+        ada_target=args.ada_target,
+        clip_gradient_norm=args.clip_gradient_norm,
+        lr_g=args.lr_g, lr_d=args.lr_d, batch_size=args.batch_size)
+
+    ckpt = ckpt_lib.CheckpointManager(checkpoint_dir)
+    state = jax.jit(lambda k: gan_lib.init_train_state(
+        k, cfg, dtype=jnp.float32))(jax.random.PRNGKey(1234))
+    state = mesh_lib.replicate(state, mesh)
+
+    resume_label = None
+    if args.resume_from:
+        # Resume syntax: name | name+iter (run.py:102-132).
+        if '+' in args.resume_from:
+            name, it = args.resume_from.split('+')
+            resume_dir = os.path.join(args.root_path, 'gan_checkpoints',
+                                      name)
+            resume_label = it
+        else:
+            resume_dir = os.path.join(args.root_path, 'gan_checkpoints',
+                                      args.resume_from)
+            resume_label = 'latest'
+        resume_ckpt = ckpt_lib.CheckpointManager(resume_dir)
+        assert resume_ckpt.exists(resume_label), \
+            f'checkpoint {args.resume_from} does not exist'
+        state = resume_ckpt.restore(state, resume_label)
+        print('Resumed from iteration', int(state.iteration))
+    elif ckpt.exists('latest') and not args.run_inversion:
+        candidate = ckpt.restore(state, 'latest')
+        if int(candidate.iteration) >= 12500:
+            state = candidate
+            print('Auto-resumed from iteration', int(state.iteration))
+        else:
+            print('Aborting resume (training from scratch)')
+
+    if args.run_inversion:
+        from nerf_from_image_tpu.cli.inversion import run_inversion_cli
+        run_inversion_cli(args, cfg, dataset_config, state, train_split,
+                          train_eval_split, test_split, mesh, report_dir,
+                          experiment_name)
+        return
+
+    # ---- GAN training ------------------------------------------------------
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    writer = SummaryWriter(tensorboard_dir)
+
+    # SDF pretraining for fresh runs (run.py:821-868).
+    if args.use_sdf and int(state.iteration) == 0:
+        from nerf_from_image_tpu.train.pretrain import pretrain_sdf
+        print('SDF pre-training...')
+        state = pretrain_sdf(state, cfg, mesh, args.eikonal, lr=args.lr_g)
+
+    state = loop_lib.train_gan(state, cfg, train_split, mesh,
+                               num_iters=args.iterations, writer=writer,
+                               ckpt_manager=ckpt)
+    ckpt.save(state, 'latest')
+    print('Training done.')
+
+
+if __name__ == '__main__':
+    main()

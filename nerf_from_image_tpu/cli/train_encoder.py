@@ -1,0 +1,78 @@
+"""Encoder distillation CLI (the reference's train_coord_regressor).
+
+Mirrors /root/reference/run.py:1521-1706: 120k iterations of rendering
+synthetic pairs from the frozen EMA generator and supervising the
+SegFormer bootstrap encoder; checkpoints every 10k.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
+                          ckpt_manager, writer):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_from_image_tpu.models.encoder import BootstrapEncoder
+    from nerf_from_image_tpu.parallel import mesh as mesh_lib
+    from nerf_from_image_tpu.train import encoder as enc_lib
+    from nerf_from_image_tpu.utils.io import EndlessSampler
+
+    encoder = BootstrapEncoder(latent_dim=args.latent_dim,
+                               separate_backbones=args.inv_use_separate)
+    cfg = enc_lib.EncoderConfig(
+        resolution=args.resolution, latent_dim=args.latent_dim,
+        depth_samples_per_ray=64 if args.fine_sampling else 128,
+        fine_sampling=args.fine_sampling,
+        scene_range=gan_cfg.scene_range,
+        white_background=gan_cfg.white_background)
+
+    state = jax.jit(lambda k: enc_lib.init_train_state(k, encoder, cfg))(
+        jax.random.PRNGKey(99))
+    state = mesh_lib.replicate(state, mesh)
+    if ckpt_manager.exists('enc_latest'):
+        state = ckpt_manager.restore(state, 'enc_latest')
+        print('Resumed encoder from iteration', int(state.iteration))
+
+    opt = enc_lib.make_optimizer()
+    step = jax.jit(lambda s, b: enc_lib.train_step(s, b, encoder, gen,
+                                                   gen_vars, opt, cfg))
+
+    rng_np = np.random.RandomState(1234)
+    sampler = EndlessSampler(len(train_split.images), rng_np)
+
+    i = int(state.iteration)
+    t0 = time.time()
+    while i < cfg.max_iters:
+        idx = sampler(args.batch_size)
+        batch = {
+            'pose': jnp.asarray(train_split.tform_cam2world[idx]),
+        }
+        if train_split.focal_length is not None:
+            batch['focal'] = jnp.asarray(train_split.focal_length[idx])
+        if train_split.bbox is not None:
+            batch['bbox'] = jnp.asarray(train_split.bbox[idx])
+        batch = mesh_lib.shard_batch(batch, mesh)
+        state, metrics = step(state, batch)
+        i += 1
+
+        if i % 1000 == 0:
+            msg = ' '.join(f'{k} {float(v):.05f}' for k, v in
+                           metrics.items())
+            print(f'[{i}] {msg} ({1000 * args.batch_size / (time.time() - t0):.1f} im/s)')
+            t0 = time.time()
+            if writer is not None:
+                for k, v in metrics.items():
+                    writer.add_scalar(f'coord_regressor/{k}', float(v), i)
+        if i % 10000 == 0:
+            ckpt_manager.save(state, 'enc_latest')
+            if i % 20000 == 0:
+                ckpt_manager.save(state, f'enc_{i}')
+
+    ckpt_manager.save(state, 'enc_latest')
+    return state.params

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from nerf_from_image_tpu.core import grids
 from nerf_from_image_tpu.models import stylegan
+from nerf_from_image_tpu.ops import triplane as triplane_ops
 
 Dtype = Any
 
@@ -213,25 +214,24 @@ class ViewDirectionMapper(nn.Module):
 
 
 class TriplanarDecoder(nn.Module):
-    """Triplane gather + 2-layer Softplus MLP (generator.py:288-331)."""
+    """Triplane gather + 2-layer Softplus MLP (generator.py:288-331).
+
+    The gather runs on a packed quad table (ops/triplane.py): one aligned
+    128-lane row gather per point per plane instead of 12 narrow ones.
+    """
     num_input_features: int = 32
     num_output_features: int = 3
     hidden_dim: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xy, xz, yz, coords):
-        """planes (B, C, R, R) x3; coords (B, H, W, 3) normalized [-1, 1].
+    def __call__(self, packed_planes, coords, plane_resolution: int):
+        """packed_planes (B, 3*R*R, 4C); coords (B, ..., 3) in [-1, 1].
 
-        Returns dict(features (B, N, out), density_or_distance (B, N, 1))
-        where N = H * W.
+        Returns dict(features (B, N, out), density_or_distance (B, N, 1)).
         """
-        e1 = grids.grid_sample2d(xy, coords[..., (0, 1)])
-        e2 = grids.grid_sample2d(xz, coords[..., (0, 2)])
-        e3 = grids.grid_sample2d(yz, coords[..., (1, 2)])
-        x = (e1 + e2 + e3) / 3.0
-        b, c = x.shape[0], x.shape[1]
-        x = x.reshape(b, c, -1).transpose(0, 2, 1)  # (B, N, C)
+        x = triplane_ops.sample_packed_triplane(packed_planes, coords,
+                                                plane_resolution)
         x = stylegan.EqualizedLinear(self.hidden_dim, dtype=self.dtype,
                                      name='fc0')(x)
         x = jax.nn.softplus(x)
@@ -244,8 +244,13 @@ class TriplanarDecoder(nn.Module):
 class GeneratorState:
     """Functional equivalent of the reference's `sampler` closure state."""
     planes: jnp.ndarray  # (B, 3, 32, R, R)
+    packed_planes: Optional[jnp.ndarray] = None  # (B, 3*R*R, 128)
     attention_values: Optional[jnp.ndarray] = None  # (B, K, 3)
     viewdir_embedding: Optional[jnp.ndarray] = None  # (B, Rays, 1, F)
+
+    @property
+    def plane_resolution(self) -> int:
+        return self.planes.shape[-1]
 
 
 class Generator(nn.Module):
@@ -354,18 +359,29 @@ class Generator(nn.Module):
             w_synth = ws
             att = None
         planes = self.synthesize_planes(w_synth, noise_mode, noise_rng)
+        packed = triplane_ops.pack_triplane(planes)
         vd_emb = None
         if self.use_viewdir and viewdirs is not None:
             vd = viewdirs.reshape(viewdirs.shape[0], -1, 1, 3)
             vd_emb = self.viewdir_mapper.embed(vd)
-        return GeneratorState(planes=planes, attention_values=att,
+        return GeneratorState(planes=planes, packed_planes=packed,
+                              attention_values=att,
                               viewdir_embedding=vd_emb)
 
     # ---- Point decoding ---------------------------------------------------
 
     def decode(self, planes, coords):
-        """Raw triplane decode; coords normalized to [-1, 1]."""
-        return self.decoder(planes[:, 0], planes[:, 1], planes[:, 2], coords)
+        """Raw triplane decode; coords normalized to [-1, 1].
+
+        Accepts either raw planes (B, 3, C, R, R) (packs on the fly) or a
+        (packed_planes, resolution) tuple from GeneratorState.
+        """
+        if isinstance(planes, tuple):
+            packed, r = planes
+        else:
+            packed = triplane_ops.pack_triplane(planes)
+            r = planes.shape[-1]
+        return self.decoder(packed, coords, r)
 
     def sdf_to_sigma(self, density_or_distance, out_of_bounds_mask):
         if self.use_sdf:
@@ -393,9 +409,12 @@ class Generator(nn.Module):
         """
         bs = x_in.shape[0]
 
+        packed = (state.packed_planes if state.packed_planes is not None
+                  else triplane_ops.pack_triplane(state.planes))
+
         def decode_density(pts_flat):
             x = pts_flat.reshape(bs, 1, -1, 3) / self.scene_range
-            return self.decode(state.planes, x)
+            return self.decode((packed, state.plane_resolution), x)
 
         x = x_in.reshape(bs, 1, -1, 3) / self.scene_range
         oob = jax.lax.stop_gradient(

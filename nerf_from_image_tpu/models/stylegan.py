@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from nerf_from_image_tpu.ops import resample as resample_ops
+
 Dtype = Any
 
 
@@ -65,34 +67,19 @@ def _conv_transpose2d(x, w, stride=1, padding=0):
         preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def filter2d(im, kernel, gain=1.0, transpose=False):
-    """Depthwise 4x4 filter, padding 1 (stride 1); H -> H-1 (or H+1 if
-    transposed). Matches models/stylegan.py:58-69."""
-    b, c, h, w = im.shape
-    k = (kernel * gain)[None, None].astype(im.dtype)
-    x = im.reshape(b * c, 1, h, w)
-    if transpose:
-        # 4x4 filter is symmetric; conv_transpose == dilation-1 transpose.
-        y = _conv_transpose2d(x, k.transpose(1, 0, 2, 3), stride=1, padding=1)
-    else:
-        y = _conv2d(x, k, stride=1, padding=1)
-    return y.reshape(b, c, y.shape[-2], y.shape[-1])
+def filter2d(im, kernel=None, gain=1.0, transpose=False):
+    """Bilinear 4x4 filter (stride 1) as separable shift-adds; `kernel` is
+    accepted for API parity but the filter is always the 1-3-3-1 bilinear
+    (stylegan.py:51-69). See ops/resample.py for the TPU rationale."""
+    return resample_ops.filter2d(im, gain=gain, transpose=transpose)
 
 
-def upsample2d(im, kernel):
-    b, c, h, w = im.shape
-    k = (kernel * 4.0)[None, None].astype(im.dtype)
-    x = im.reshape(b * c, 1, h, w)
-    y = _conv_transpose2d(x, k.transpose(1, 0, 2, 3), stride=2, padding=1)
-    return y.reshape(b, c, y.shape[-2], y.shape[-1])
+def upsample2d(im, kernel=None):
+    return resample_ops.upsample2d(im)
 
 
-def downsample2d(im, kernel):
-    b, c, h, w = im.shape
-    k = kernel[None, None].astype(im.dtype)
-    x = im.reshape(b * c, 1, h, w)
-    y = _conv2d(x, k, stride=2, padding=1)
-    return y.reshape(b, c, y.shape[-2], y.shape[-1])
+def downsample2d(im, kernel=None):
+    return resample_ops.downsample2d(im)
 
 
 def conv_resampled2d(x, w, f=None, up=False, down=False, padding=0):

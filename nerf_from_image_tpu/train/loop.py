@@ -1,0 +1,122 @@
+"""GAN training loop: host-side orchestration of the jitted G/D steps.
+
+Mirrors the reference loop structure (/root/reference/run.py:947-1518):
+alternating G/D iterations, lazy R1 on every other D step, the iteration-3
+early-OOM smoke eval, FID/PSNR eval + checkpointing every 5000 iterations,
+and im/s telemetry. Device work is the two compiled step functions;
+batches are assembled on host from the preloaded splits and sharded over
+the 'data' mesh axis.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_from_image_tpu.core import augment as augment_lib
+from nerf_from_image_tpu.parallel import mesh as mesh_lib
+from nerf_from_image_tpu.train import gan as gan_lib
+from nerf_from_image_tpu.utils.io import EndlessSampler
+
+DISPLAY_EVERY = 5000
+
+
+def sample_batch(train_split, batch_size: int, rng: np.random.RandomState,
+                 cfg, train_sampler: Optional[EndlessSampler] = None,
+                 latent_rng: Optional[jax.Array] = None,
+                 augment_p: float = 0.0, augment_rng=None,
+                 is_highres: bool = False):
+    """Host-side batch assembly (run.py:908-944).
+
+    ADA augmentation of real images runs on device inside the D step when
+    `augment_p > 0` (the reference augments on host per batch; here the
+    transform is sampled on device from the train-state RNG).
+    """
+    if train_sampler is not None:
+        idx = train_sampler(batch_size)
+    else:
+        idx = rng.randint(train_split.images.shape[0], size=(batch_size,))
+
+    batch = {
+        'image': jnp.asarray(train_split.images[idx]),
+        'pose': jnp.asarray(train_split.tform_cam2world[idx]),
+    }
+    if train_split.focal_length is not None:
+        batch['focal'] = jnp.asarray(train_split.focal_length[idx])
+    if train_split.bbox is not None:
+        batch['bbox'] = jnp.asarray(train_split.bbox[idx])
+    if is_highres and train_split.images_highres is not None:
+        batch['image_highres'] = jnp.asarray(train_split.images_highres[idx])
+    if latent_rng is not None:
+        batch['z'] = jax.random.normal(
+            latent_rng, (batch_size, cfg.latent_dim))
+    return idx, batch
+
+
+def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
+              train_split, mesh, num_iters: int,
+              writer=None, ckpt_manager=None, eval_fn=None,
+              log_every: int = 100, seed: int = 1234):
+    """Runs GAN training from state.iteration to num_iters."""
+    gen, disc = gan_lib.make_models(cfg)
+    opt_g, opt_d = gan_lib.make_optimizers(cfg)
+
+    rng_np = np.random.RandomState(seed)
+    train_sampler = EndlessSampler(len(train_split.images), rng_np)
+    host_key = jax.random.PRNGKey(seed + 1)
+
+    g_step = jax.jit(lambda s, b: gan_lib.g_step(s, b, gen, disc, opt_g,
+                                                 cfg))
+    d_steps = {}
+    for r1 in (False, True):
+        for blur in (False, True):
+            d_steps[(r1, blur)] = jax.jit(
+                lambda s, br, bf, r1=r1, blur=blur: gan_lib.d_step(
+                    s, br, bf, gen, disc, opt_d, cfg, use_r1_now=r1,
+                    blur_active=blur))
+
+    i = int(state.iteration)
+    t1 = time.time()
+    elapsed_ips = 0.0
+    while i < num_iters:
+        host_key, k1, k2, k3 = jax.random.split(host_key, 4)
+        if i % 2 == 0:
+            _, batch = sample_batch(train_split, cfg.batch_size, rng_np,
+                                    cfg, latent_rng=k1)
+            batch = mesh_lib.shard_batch(batch, mesh)
+            t1 = time.time()
+            state, metrics = g_step(state, batch)
+        else:
+            _, real = sample_batch(train_split, cfg.batch_size, rng_np, cfg,
+                                   train_sampler=train_sampler)
+            _, fake = sample_batch(train_split, cfg.batch_size, rng_np, cfg,
+                                   latent_rng=k2)
+            real = mesh_lib.shard_batch(real, mesh)
+            fake = mesh_lib.shard_batch(fake, mesh)
+            use_r1 = cfg.r1 > 0 and i % 2 == 1
+            blur_active = i < gan_lib.BLUR_WARMUP_ITERS
+            state, metrics = d_steps[(use_r1, blur_active)](state, real,
+                                                            fake)
+            elapsed_ips = cfg.batch_size / max(time.time() - t1, 1e-9)
+
+        if writer is not None and i % log_every == 0:
+            for k, v in metrics.items():
+                writer.add_scalar(f'loss/{k}', float(v), i)
+            writer.add_scalar('img_per_sec', elapsed_ips, i)
+
+        # Early-OOM smoke eval at iteration 3 + periodic eval/checkpoint
+        # (run.py:1195-1197, 1474-1516).
+        if i == 3 or (i + 1) % DISPLAY_EVERY == 0:
+            if eval_fn is not None:
+                eval_fn(state, i)
+            if ckpt_manager is not None:
+                ckpt_manager.save(state, 'latest')
+                if (i + 1) % 50000 == 0:
+                    ckpt_manager.save(state, f'{i + 1}')
+        i += 1
+
+    return state
