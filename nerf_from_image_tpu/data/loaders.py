@@ -165,13 +165,19 @@ def load_shapenet(dataset_config, args, manual_image=None):
         split.images = images
         split.tform_cam2world = poses
         split.focal_length = np.full((len(images),), focal, np.float32)
+        # Principal point from the shared SRN intrinsics, threaded through
+        # batching into ray generation (reference reads `c` at
+        # loaders.py:423-429 and render() accepts `center` at run.py:176).
+        split.center = np.broadcast_to(
+            np.asarray(center, np.float32), (len(images), 2)).copy()
         return split
 
     train_split = load_stage('train')
     train_eval_split = DatasetSplit(
         images=train_split.images,
         tform_cam2world=train_split.tform_cam2world,
-        focal_length=train_split.focal_length)
+        focal_length=train_split.focal_length,
+        center=train_split.center)
     test_split = None
     if args.use_encoder or args.run_inversion:
         test_split = load_stage('test')
@@ -184,11 +190,12 @@ def load_carla(dataset_config, args, manual_image=None):
                                image_size=args.resolution,
                                upscale=args.augment_p > 0)
     images, poses = [], []
-    focal = None
+    focal = center = None
     for i in range(len(ds)):
         item = ds[i]
         if focal is None:
             focal = item['focal'][0]
+            center = item.get('c')
         images.append(item['image'])
         poses.append(item['pose'])
     images = np.stack(images).transpose(0, 2, 3, 1)
@@ -200,9 +207,13 @@ def load_carla(dataset_config, args, manual_image=None):
         split.images = images
     split.tform_cam2world = np.stack(poses)
     split.focal_length = np.full((len(images),), focal, np.float32)
+    if center is not None:
+        split.center = np.broadcast_to(
+            np.asarray(center, np.float32), (len(images), 2)).copy()
     train_eval = DatasetSplit(images=split.images,
                               tform_cam2world=split.tform_cam2world,
-                              focal_length=split.focal_length)
+                              focal_length=split.focal_length,
+                              center=split.center)
     return split, train_eval, None
 
 

@@ -55,3 +55,32 @@ def batch_spec(mesh: Mesh, axis_name: str = 'data') -> NamedSharding:
 
 def replicated_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_rays(tree, mesh: Mesh, axis_name: str = 'rays'):
+    """Shards the ray (image-row) axis of render-shaped arrays.
+
+    Rays are embarrassingly parallel (SURVEY §5): for large single-image
+    renders the H axis of (B, H, W, ...) tensors is sharded over
+    `axis_name` so each device evaluates a horizontal strip; the only
+    cross-device communication is the output gather XLA inserts.
+    Leaves with <2 dims are replicated.
+    """
+    if axis_name not in mesh.axis_names:
+        raise ValueError(f'mesh has no axis {axis_name!r}; '
+                         f'create it via create_mesh("data:D,rays:R")')
+
+    def put(x):
+        if getattr(x, 'ndim', 0) >= 2:
+            spec = P('data' if 'data' in mesh.axis_names else None, axis_name)
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def ray_spec(mesh: Mesh, axis_name: str = 'rays') -> NamedSharding:
+    """Sharding for (B, H, W, ...) tensors: batch on 'data', rows on rays."""
+    return NamedSharding(
+        mesh, P('data' if 'data' in mesh.axis_names else None, axis_name))

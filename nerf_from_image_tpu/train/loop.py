@@ -49,6 +49,8 @@ def sample_batch(train_split, batch_size: int, rng: np.random.RandomState,
         batch['focal'] = jnp.asarray(train_split.focal_length[idx])
     if train_split.bbox is not None:
         batch['bbox'] = jnp.asarray(train_split.bbox[idx])
+    if train_split.center is not None:
+        batch['center'] = jnp.asarray(train_split.center[idx])
     if is_highres and train_split.images_highres is not None:
         batch['image_highres'] = jnp.asarray(train_split.images_highres[idx])
     if latent_rng is not None:

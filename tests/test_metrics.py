@@ -10,11 +10,12 @@ def test_psnr_known_values():
     target = jnp.full((2, 3, 8, 8), 0.1)
     # MSE = 0.01 -> PSNR = 20 dB.
     out = metrics.psnr(pred, target, reduction='none')
-    np.testing.assert_allclose(np.asarray(out), 20.0, rtol=1e-5)
+    # fp32 log10 on-device: ~1e-4 relative accuracy.
+    np.testing.assert_allclose(np.asarray(out), 20.0, rtol=1e-4)
     # Identical images clamp at 60 dB.
     out2 = metrics.psnr(target, target, reduction='none')
     np.testing.assert_allclose(np.asarray(out2), 60.0)
-    assert float(metrics.psnr(pred, target)) == pytest.approx(20.0, rel=1e-5)
+    assert float(metrics.psnr(pred, target)) == pytest.approx(20.0, rel=1e-4)
 
 
 def test_ssim_self_is_one_and_degrades():
