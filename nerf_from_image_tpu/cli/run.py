@@ -141,6 +141,31 @@ def main(argv=None):
     os.makedirs(checkpoint_dir, exist_ok=True)
     writer = SummaryWriter(tensorboard_dir)
 
+    # Evaluation stack: Inception for FID (+ LPIPS for encoder-mode
+    # reconstruction metrics). Converted reference weights are loaded when
+    # present; otherwise evaluation still runs with randomly initialized
+    # feature nets so the FID *pipeline* is exercised (numbers are then
+    # only self-consistent, not comparable — a warning is printed).
+    from nerf_from_image_tpu.train.eval import GANEvaluator
+    inception_apply = make_inception_apply(args)
+    lpips_apply = make_lpips_apply(args) if args.use_encoder else None
+    gen, _ = gan_lib.make_models(cfg)
+    evaluator = GANEvaluator(
+        cfg, dataset_config, args.dataset, train_split, train_eval_split,
+        test_split, inception_apply=inception_apply,
+        lpips_apply=lpips_apply, use_encoder=args.use_encoder,
+        use_class=args.use_class,
+        eval_batch_size=min(args.batch_size, 8),
+        stats_cache_dir=os.path.join(args.root_path, 'fid_stats'))
+    eval_rng = np.random.RandomState(4321)
+
+    def eval_fn(s, i):
+        fid, is_best = evaluator.evaluate(s, i, gen, writer)
+        if fid is not None:
+            print(f'[{i}] FID: {fid:.2f} (best {evaluator.best_fid:.2f})')
+        evaluator.log_training_images(s, i, gen, writer, eval_rng)
+        return fid, is_best
+
     # SDF pretraining for fresh runs (run.py:821-868).
     if args.use_sdf and int(state.iteration) == 0:
         from nerf_from_image_tpu.train.pretrain import pretrain_sdf
@@ -149,9 +174,60 @@ def main(argv=None):
 
     state = loop_lib.train_gan(state, cfg, train_split, mesh,
                                num_iters=args.iterations, writer=writer,
-                               ckpt_manager=ckpt)
+                               ckpt_manager=ckpt, eval_fn=eval_fn)
     ckpt.save(state, 'latest')
     print('Training done.')
+
+
+def make_inception_apply(args):
+    """Jitted InceptionV3-FID activations fn; loads converted TF-FID weights
+    from {root_path}/weights/inception.npz when present."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import flax
+
+    from nerf_from_image_tpu.models.inception import InceptionV3FID
+
+    net = InceptionV3FID()
+    path = os.path.join(args.root_path, 'weights', 'inception.npz')
+    variables = None
+    if os.path.exists(path):
+        flat = dict(np.load(path))
+        variables = {'params': flax.traverse_util.unflatten_dict(
+            {tuple(k.split('/')): v for k, v in flat.items()})}
+    else:
+        print(f'WARNING: no converted Inception weights at {path}; '
+              'FID uses a randomly initialized Inception (numbers are '
+              'self-consistent only). Run scripts/convert_weights.py.')
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 3, 32, 32)))
+    return jax.jit(lambda im: net.apply(variables, im))
+
+
+def make_lpips_apply(args):
+    """Jitted LPIPS distance fn on [0,1] NCHW pairs; loads converted VGG16
+    + lin weights from {root_path}/weights/lpips.npz when present."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import flax
+
+    from nerf_from_image_tpu.models.lpips import LPIPS
+
+    net = LPIPS()
+    path = os.path.join(args.root_path, 'weights', 'lpips.npz')
+    if os.path.exists(path):
+        flat = dict(np.load(path))
+        variables = {'params': flax.traverse_util.unflatten_dict(
+            {tuple(k.split('/')): v for k, v in flat.items()})}
+    else:
+        print(f'WARNING: no converted LPIPS weights at {path}; '
+              'LPIPS uses a randomly initialized VGG16.')
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 3, 32, 32)),
+                             jnp.zeros((1, 3, 32, 32)))
+    return jax.jit(lambda a, b: net.apply(variables, a, b, normalize=True))
 
 
 if __name__ == '__main__':

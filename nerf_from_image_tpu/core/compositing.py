@@ -48,6 +48,7 @@ def render_volume_density(
     normals: Optional[jnp.ndarray] = None,
     semantics: Optional[jnp.ndarray] = None,
     white_background: bool = True,
+    samples_sorted: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray],
            Optional[jnp.ndarray]]:
     """Composites sigma/rgb (and optional normals/semantics) along rays.
@@ -55,12 +56,22 @@ def render_volume_density(
     Args:
       sigma: (..., S), rgb: (..., S, C), depth_values: (..., S),
       ray_directions: (..., 3).
+      samples_sorted: True -> depth_values are ascending per ray (single
+        stratified pass) and weights use the exclusive-cumprod scan;
+        False -> arbitrary order (merged coarse+fine), weights use the
+        pairwise-comparison formulation (compute_weights_unsorted). All
+        composited outputs are order-invariant sums, so no sort/gather is
+        needed either way.
 
     Returns:
       (rgb_map (..., C), depth_map (...), mask (...), normal_map, semantic_map)
       Depth and normal maps use detached weights (reference semantics).
     """
-    weights = compute_weights(sigma, ray_directions, depth_values)
+    if samples_sorted:
+        weights = compute_weights(sigma, ray_directions, depth_values)
+    else:
+        weights = compute_weights_unsorted(sigma, ray_directions,
+                                           depth_values)
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
     weights_sg = jax.lax.stop_gradient(weights)
@@ -86,3 +97,59 @@ def render_volume_density_weights_only(
     depth_values: jnp.ndarray,
 ) -> jnp.ndarray:
     return compute_weights(sigma, ray_directions, depth_values)
+
+
+def compute_weights_unsorted(
+    sigma: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    depth_values: jnp.ndarray,
+) -> jnp.ndarray:
+    """Volume-rendering weights for UNSORTED per-ray samples.
+
+    TPU-native replacement for the reference's fine-pass sort-merge
+    (/root/reference/run.py:259-335): every composited output is an
+    order-invariant sum sum_i(w_i * v_i), so instead of sorting the merged
+    coarse+fine samples and gathering values (XLA sort + gather ran at
+    ~950 ms/step), the weights are computed directly in the given order
+    from pairwise depth comparisons:
+
+      d_i   = min{ z_j : z_j after z_i } - z_i          (successor dist)
+      T_i   = prod_{j before i} (1 - alpha_j + 1e-10)
+            = exp( sum_{j before i} log(exp(-sigma_j d_j) + 1e-10) )
+      w_i   = (1 - exp(-sigma_i d_i)) * T_i
+
+    with "before" = (z_j < z_i) or (z_j == z_i and j < i) — a stable
+    ordering so exact depth ties (possible in bf16) stay deterministic.
+    The (S, S) comparison grids are fused compare+select+reduce loops on
+    the VPU; nothing is ever gathered or sorted. Equals the sorted-space
+    computation exactly (up to exp/log round-off ~1e-6).
+
+    Args:
+      sigma: (..., S), depth_values: (..., S) (any per-ray order),
+      ray_directions: (..., 3).
+
+    Returns:
+      weights (..., S), aligned with the INPUT sample order.
+    """
+    z = depth_values.astype(jnp.float32)
+    s = z.shape[-1]
+    zi = z[..., :, None]  # (..., S, 1) "self"
+    zj = z[..., None, :]  # (..., 1, S) "other"
+    idx = jnp.arange(s, dtype=jnp.int32)
+    tie = zj == zi
+    before = (zj < zi) | (tie & (idx[..., None, :] < idx[..., :, None]))
+    after = (zj > zi) | (tie & (idx[..., None, :] > idx[..., :, None]))
+
+    # Successor distance (0 for the per-ray maximum, matching the sorted
+    # formulation's trailing zero dist).
+    succ = jnp.min(jnp.where(after, zj, jnp.float32(jnp.inf)), axis=-1)
+    dists = jnp.where(jnp.isfinite(succ), succ - z, 0.0)
+    dists = dists * jnp.linalg.norm(
+        ray_directions.astype(jnp.float32), axis=-1, keepdims=True)
+
+    sd = sigma.astype(jnp.float32) * dists
+    alpha = 1.0 - jnp.exp(-sd)
+    log_trans = jnp.log(jnp.exp(-sd) + 1e-10)  # log(1 - alpha + 1e-10)
+    acc = jnp.sum(jnp.where(before, log_trans[..., None, :], 0.0), axis=-1)
+    weights = alpha * jnp.exp(acc)
+    return weights.astype(sigma.dtype)

@@ -23,46 +23,63 @@ def sample_pdf(
 ) -> jnp.ndarray:
     """Inverse-transform sampling of `num_samples` depths per ray.
 
+    Math parity with /root/reference/lib/nerf_utils.py:183-222, but
+    gather-free: `searchsorted` + the four `torch.gather`s become masked
+    min/max reductions over the (samples, bins) comparison grid — cdf and
+    bins are both sorted ascending, so the entry at index `below` (the
+    largest j with cdf[j] <= u) is the masked maximum, and `above` the
+    masked minimum of the complement. XLA fuses the compare+select+reduce
+    into VPU loops; no gather/scatter appears anywhere (XLA TPU gathers
+    run ~50x below HBM speed-of-light; this was 385 ms -> ~ms at the
+    training operating point).
+
     Args:
-      bins: (..., M) bin centers (sorted along last axis).
-      weights: (..., M - 1)? No: (..., M) weights per bin edge interval,
-        matching the reference contract where `bins` are midpoints and
-        `weights` has the same leading shape with M entries one fewer than
-        the CDF length.
+      bins: (..., K) bin positions (sorted ascending; reference passes
+        depth midpoints).
+      weights: (..., K - 1) interval weights (the CDF then has K entries,
+        aligned with `bins`).
       rng: None -> deterministic linspace(0, 1) samples.
 
     Returns:
-      samples: (..., num_samples) depths.
+      samples: (..., num_samples) depths, same dtype as `bins`.
     """
-    weights = weights + 1e-5
+    dtype = bins.dtype
+    weights = weights.astype(jnp.float32) + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate((jnp.zeros_like(cdf[..., :1]), cdf), axis=-1)
-    n_bins = cdf.shape[-1]
 
     if rng is None:
-        u = jnp.linspace(0.0, 1.0, num_samples, dtype=weights.dtype)
+        u = jnp.linspace(0.0, 1.0, num_samples, dtype=jnp.float32)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
     else:
         u = jax.random.uniform(rng, cdf.shape[:-1] + (num_samples,),
-                               dtype=weights.dtype)
+                               dtype=jnp.float32)
 
-    # searchsorted(cdf, u, side='right') as a dense comparison sum:
-    # inds[s] = #{j : cdf[j] <= u[s]}.
-    inds = jnp.sum(
-        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, n_bins - 1)
+    bins_f = bins.astype(jnp.float32)
+    # m[s, j] = cdf[j] <= u[s]  (cdf[0] = 0 so every sample has >= 1 hit).
+    m = cdf[..., None, :] <= u[..., :, None]  # (..., S, K)
+    neg = jnp.float32(-jnp.inf)
+    pos = jnp.float32(jnp.inf)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    def masked_max(vec):
+        return jnp.max(jnp.where(m, vec[..., None, :], neg), axis=-1)
+
+    def masked_min(vec):
+        full = jnp.min(jnp.where(m, pos, vec[..., None, :]), axis=-1)
+        # All-true mask (u >= 1): clamp to the last entry, matching
+        # above = min(inds, K - 1).
+        return jnp.minimum(full, vec[..., -1:])
+
+    cdf_below = masked_max(cdf)
+    bins_below = masked_max(bins_f)
+    cdf_above = masked_min(cdf)
+    bins_above = masked_min(bins_f)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
     t = (u - cdf_below) / denom
-    return bins_below + t * (bins_above - bins_below)
+    return (bins_below + t * (bins_above - bins_below)).astype(dtype)
 
 
 def smooth_weights_eg3d(weights: jnp.ndarray) -> jnp.ndarray:

@@ -121,32 +121,22 @@ def render(
         sigma_fine = unflatten(out_fine['sigma'], s_coarse)[..., 0]
         rgb_fine = unflatten(out_fine['rgb'], s_coarse)
 
-        pairs = [(rgb, rgb_fine)]
-        keys = []
+        # No sort-merge: the coarse+fine union is composited in
+        # concatenation order via the pairwise-weights formulation
+        # (core/compositing.py:compute_weights_unsorted) — every composite
+        # output is an order-invariant weighted sum, so the reference's
+        # sort + value gather (run.py:259-335) has no TPU-side equivalent.
+        cat = lambda a, b: jnp.concatenate((a, b), axis=-2)
+        depth_values = jnp.concatenate((z_vals, z_samples), axis=-1)
+        sigma = jnp.concatenate((sigma, sigma_fine), axis=-1)
+        rgb = cat(rgb, rgb_fine)
         if compute_normals:
-            pairs.append((normals, unflatten(out_fine['normals'], s_coarse)))
-            keys.append('normals')
+            normals = cat(normals, unflatten(out_fine['normals'], s_coarse))
         if compute_semantics:
-            pairs.append(
-                (semantics, unflatten(out_fine['semantics'], s_coarse)))
-            keys.append('semantics')
+            semantics = cat(semantics,
+                            unflatten(out_fine['semantics'], s_coarse))
         if compute_coords:
-            pairs.append((coords, unflatten(out_fine['coords'], s_coarse)))
-            keys.append('coords')
-
-        merged = sampling.sort_merge(
-            z_vals, z_samples,
-            (sigma[..., None], sigma_fine[..., None]), *pairs)
-        depth_values = merged[0]
-        sigma = merged[1][..., 0]
-        rgb = merged[2]
-        for i, k in enumerate(keys):
-            if k == 'normals':
-                normals = merged[3 + i]
-            elif k == 'semantics':
-                semantics = merged[3 + i]
-            elif k == 'coords':
-                coords = merged[3 + i]
+            coords = cat(coords, unflatten(out_fine['coords'], s_coarse))
 
     if coords is not None:
         # Canonical-coordinate rendering reuses the semantics slot
@@ -157,7 +147,8 @@ def render(
         compositing.render_volume_density(
             sigma, rgb, ray_directions, depth_values,
             normals=normals, semantics=semantics,
-            white_background=white_background))
+            white_background=white_background,
+            samples_sorted=not fine_sampling))
 
     return RenderOutput(rgb=rgb_map, depth=depth_map, mask=mask,
                         normals=normal_map, semantics=semantic_map)

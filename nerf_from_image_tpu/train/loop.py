@@ -111,12 +111,17 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
             writer.add_scalar('img_per_sec', elapsed_ips, i)
 
         # Early-OOM smoke eval at iteration 3 + periodic eval/checkpoint
-        # (run.py:1195-1197, 1474-1516).
+        # (run.py:1195-1197, 1474-1516). eval_fn returns (current_fid,
+        # is_best); a best FID gates checkpoint_best (run.py:1403-1405,
+        # 1511-1513).
         if i == 3 or (i + 1) % DISPLAY_EVERY == 0:
+            is_best = False
             if eval_fn is not None:
-                eval_fn(state, i)
+                _, is_best = eval_fn(state, i)
             if ckpt_manager is not None:
                 ckpt_manager.save(state, 'latest')
+                if is_best:
+                    ckpt_manager.save(state, 'best')
                 if (i + 1) % 50000 == 0:
                     ckpt_manager.save(state, f'{i + 1}')
         i += 1

@@ -82,3 +82,24 @@ def test_sample_pdf(golden):
 def test_smooth_weights(golden):
     out = sampling.smooth_weights_eg3d(jnp.asarray(golden['smooth_weights_in']))
     _close(out, golden['smooth_weights_out'], 1e-5)
+
+
+def test_compute_weights_unsorted_matches_sorted():
+    """Pairwise-mask merged weights == sort + exclusive-cumprod weights."""
+    import jax
+    k = jax.random.PRNGKey(7)
+    r, s = 13, 24
+    z1 = jnp.sort(jax.random.uniform(jax.random.PRNGKey(1), (r, s)),
+                  axis=-1) * 2 + 1
+    z2 = jax.random.uniform(jax.random.PRNGKey(2), (r, s)) * 2 + 1
+    z_cat = jnp.concatenate((z1, z2), axis=-1)
+    sigma = jax.random.uniform(jax.random.PRNGKey(3), (r, 2 * s)) * 5
+    rd = jax.random.normal(k, (r, 3))
+
+    w_unsorted = compositing.compute_weights_unsorted(sigma, rd, z_cat)
+
+    order = jnp.argsort(z_cat, axis=-1)
+    w_sorted = compositing.compute_weights(
+        jnp.take_along_axis(sigma, order, axis=-1), rd,
+        jnp.take_along_axis(z_cat, order, axis=-1))
+    _close(jnp.take_along_axis(w_unsorted, order, axis=-1), w_sorted, 1e-5)
