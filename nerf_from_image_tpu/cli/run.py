@@ -93,6 +93,13 @@ def main(argv=None):
         use_sdf=args.use_sdf,
         attention_values=args.attention_values,
         use_viewdir=args.use_viewdir,
+        is_highres=dataset_config.get('is_highres', False),
+        use_encoder=args.use_encoder,
+        use_class=args.use_class,
+        num_classes=(train_split.num_classes if args.use_class else None),
+        dual_discriminator=args.dual_discriminator,
+        dual_discriminator_l1=args.dual_discriminator_l1,
+        dual_discriminator_mse=args.dual_discriminator_mse,
         r1=args.r1, tv=args.tv, entropy=args.entropy, eikonal=args.eikonal,
         path_length_regularization=args.path_length_regularization,
         augment_ada=args.augment_ada, augment_p_max=args.augment_p,

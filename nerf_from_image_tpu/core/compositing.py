@@ -3,8 +3,11 @@
 Parity with /root/reference/lib/nerf_utils.py:20-26, 123-180 (exclusive
 cumprod transmittance, white-background compositing, detached depth/normal
 weights). The sample axis is the last axis; everything is a fixed-length
-associative scan that XLA maps well to the VPU. A fused Pallas variant
-lives in ops/pallas/composite.py.
+associative scan (sorted inputs) or a pairwise-comparison reduction
+(unsorted merged coarse+fine inputs, compute_weights_unsorted) that XLA
+fuses onto the VPU — no sort or gather anywhere. The triplane feature
+lookup feeding this has a windowed Pallas kernel in
+ops/pallas/triplane_window.py.
 """
 
 from __future__ import annotations

@@ -82,6 +82,11 @@ class GANTrainState:
     augment_p: jnp.ndarray  # scalar f32 (effective ADA probability)
     ppl_running_avg: jnp.ndarray  # scalar f32
     ada_sign_acc: jnp.ndarray  # scalar f32 (unused placeholder for parity)
+    # Second (unconditional-on-image) discriminator for
+    # --dual_discriminator with --use_encoder (run.py:545-557). None when
+    # single-D or when the second D shares parameters with the first.
+    params_d2: Any = None
+    opt_d2: Any = None
 
 
 import dataclasses
@@ -102,6 +107,13 @@ class GANConfig:
     use_sdf: bool = True
     attention_values: int = 10
     use_viewdir: bool = False
+    is_highres: bool = False  # real images carry a 2x copy for ADA
+    use_encoder: bool = False  # encoder-mode GAN: G conditioned on image
+    use_class: bool = False  # class-conditional (CUB)
+    num_classes: Optional[int] = None
+    dual_discriminator: bool = False
+    dual_discriminator_l1: bool = False  # D1 replaced by 10*L1 recon loss
+    dual_discriminator_mse: bool = False  # D1 replaced by 10*MSE recon loss
     r1: float = 5.0
     tv: float = 0.5
     entropy: float = 0.05
@@ -122,12 +134,40 @@ def make_models(cfg: GANConfig, dtype=jnp.float32):
     gen = Generator(latent_dim=cfg.latent_dim, scene_range=cfg.scene_range,
                     attention_values=cfg.attention_values,
                     use_viewdir=cfg.use_viewdir, use_sdf=cfg.use_sdf,
+                    use_encoder=cfg.use_encoder,
+                    num_classes=cfg.num_classes if cfg.use_class else None,
                     img_resolution=cfg.plane_resolution, dtype=dtype)
     disc = Discriminator(resolution=cfg.resolution,
                          nc=4 if cfg.supervise_alpha else 3,
                          camera_flipped=cfg.camera_flipped,
-                         conditional_pose=cfg.conditional_pose, dtype=dtype)
+                         conditional_pose=cfg.conditional_pose,
+                         use_encoder=cfg.use_encoder,
+                         num_classes=cfg.num_classes if cfg.use_class
+                         else None, dtype=dtype)
     return gen, disc
+
+
+def make_second_discriminator(cfg: GANConfig, dtype=jnp.float32):
+    """The dual-discriminator setup (run.py:533-557): when D1 is
+    image-conditional (use_encoder), D2 is a separate unconditional-on-
+    image discriminator; otherwise D2 shares D1's parameters and just sees
+    a second fresh batch. When dual_discriminator_l1/mse, D1 does not
+    exist at all (a reconstruction loss takes its place)."""
+    if not cfg.dual_discriminator:
+        return None
+    if not cfg.use_encoder:
+        # Without an encoder, D2 == D1 (shared params over a second fresh
+        # batch); if D1 was replaced by a recon loss, there is no D at all.
+        if cfg.dual_discriminator_l1 or cfg.dual_discriminator_mse:
+            return None
+        return 'shared'
+    return Discriminator(resolution=cfg.resolution,
+                         nc=4 if cfg.supervise_alpha else 3,
+                         camera_flipped=cfg.camera_flipped,
+                         conditional_pose=cfg.conditional_pose,
+                         use_encoder=False,
+                         num_classes=cfg.num_classes if cfg.use_class
+                         else None, dtype=dtype)
 
 
 def _lr_schedule(base_lr: float):
@@ -154,26 +194,60 @@ def make_optimizers(cfg: GANConfig):
 def init_train_state(rng: jax.Array, cfg: GANConfig,
                      dtype=jnp.float32) -> GANTrainState:
     gen, disc = make_models(cfg, dtype)
-    rng, kg, kd = jax.random.split(rng, 3)
+    rng, kg, kd, kd2 = jax.random.split(rng, 4)
     z = jnp.zeros((2, cfg.latent_dim))
-    params_g = gen.init(kg, z)
+    if cfg.use_encoder or cfg.use_class:
+        # Conditional mapping: init the main graph with a dummy 512-D
+        # conditioning, then create the embedding branch (image encoder or
+        # class table) and merge its params in.
+        params_g = gen.init(kg, z, jnp.zeros((2, 512)))
+        if cfg.use_encoder:
+            branch = gen.init(kg,
+                              jnp.zeros((2, 3, cfg.resolution,
+                                         cfg.resolution)),
+                              method=Generator.embed_image)
+        else:
+            branch = gen.init(kg, jnp.zeros((2,), jnp.int32),
+                              method=Generator.embed_class)
+        params_g = {'params': {**params_g['params'], **branch['params']}}
+    else:
+        params_g = gen.init(kg, z)
     img = jnp.zeros((4, 4 if cfg.supervise_alpha else 3, cfg.resolution,
                      cfg.resolution))
     pose = jnp.broadcast_to(jnp.eye(4), (4, 4, 4)).at[:, 2, 3].set(4.0)
     focal = jnp.ones((4,)) * 1.2
-    params_d = disc.init(kd, img, pose, None, focal)
+    # With use_class, the D's `image` argument carries the class labels
+    # (reference quirk: discriminator.py:64 label_embedding(image), and
+    # num_classes takes precedence over the image embedding in the
+    # conditioning chain at discriminator.py:66-78).
+    cond_img = (jnp.zeros((4,), jnp.int32) if cfg.use_class else
+                (jnp.zeros((4, 3, cfg.resolution, cfg.resolution))
+                 if cfg.use_encoder else None))
     opt_g, opt_d = make_optimizers(cfg)
+    if cfg.dual_discriminator_l1 or cfg.dual_discriminator_mse:
+        params_d, opt_d_state = None, None
+    else:
+        params_d = disc.init(kd, img, pose, cond_img, focal)
+        opt_d_state = opt_d.init(params_d)
+    disc2 = make_second_discriminator(cfg)
+    params_d2 = opt_d2_state = None
+    if disc2 is not None and disc2 != 'shared':
+        cond2 = (jnp.zeros((4,), jnp.int32) if cfg.use_class else None)
+        params_d2 = disc2.init(kd2, img, pose, cond2, focal)
+        opt_d2_state = opt_d.init(params_d2)
     return GANTrainState(
         params_g=params_g,
         params_d=params_d,
         ema_params_g=jax.tree_util.tree_map(lambda x: x, params_g),
         opt_g=opt_g.init(params_g),
-        opt_d=opt_d.init(params_d),
+        opt_d=opt_d_state,
         iteration=jnp.zeros((), jnp.int32),
         rng=rng,
         augment_p=jnp.zeros(()),
         ppl_running_avg=jnp.asarray(-1.0),  # <0 means "uninitialized"
         ada_sign_acc=jnp.zeros(()),
+        params_d2=params_d2,
+        opt_d2=opt_d2_state,
     )
 
 
@@ -185,11 +259,23 @@ def _ema_alpha(iteration):
     return alpha ** power
 
 
+def embed_condition(gen: Generator, params_g, cfg: GANConfig, batch):
+    """G-conditioning embedding: image (encoder mode) or class label
+    (run.py:918-927: z = (z_random, image) or (z_random, class))."""
+    if cfg.use_encoder and 'image' in batch:
+        img = batch['image'][..., :3].transpose(0, 3, 1, 2)
+        return gen.apply(params_g, img, method=Generator.embed_image)
+    if cfg.use_class and 'class' in batch:
+        return gen.apply(params_g, batch['class'],
+                         method=Generator.embed_class)
+    return None
+
+
 def generator_forward(gen: Generator, params_g, z, pose, focal, center,
-                      bbox, cfg: GANConfig, rng, requests=()):
+                      bbox, cfg: GANConfig, rng, requests=(), cond=None):
     """Maps z, synthesizes, renders. Returns (RenderOutput, extra dict)."""
     rng_noise, rng_render, rng_reg = jax.random.split(rng, 3)
-    ws = gen.apply(params_g, z, method=Generator.map)
+    ws = gen.apply(params_g, z, cond, method=Generator.map)
     # Viewdirs are produced by the renderer; for viewdir models we render
     # with the normalized ray directions (set below via closure).
     state = gen.apply(params_g, ws, method=Generator.synthesize)
@@ -237,16 +323,40 @@ def generator_forward(gen: Generator, params_g, z, pose, focal, center,
 
 def g_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
            gen: Generator, disc: Discriminator, opt_g,
-           cfg: GANConfig) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+           cfg: GANConfig, batch2: Optional[Dict[str, jnp.ndarray]] = None,
+           disc2=None) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
     """One generator update (run.py:954-1073). batch: pose/focal/center/bbox.
 
-    `batch['z']` is sampled on host (or pass rng-driven z).
+    `batch['z']` is sampled on host (or pass rng-driven z). With
+    `cfg.dual_discriminator`, `batch2` supplies the second fresh poses and
+    `disc2` the second discriminator ('shared' -> same params as D1); the
+    render is repeated with the same z/conditioning under the new poses and
+    each adversarial loss is halved (run.py:962-1010).
     """
     i = state.iteration
-    rng, rng_fwd, rng_aug = jax.random.split(state.rng, 3)
+    rng, rng_fwd, rng_fwd2, rng_aug, rng_aug2 = jax.random.split(state.rng, 5)
 
     pose, focal = batch['pose'], batch.get('focal')
     center, bbox = batch.get('center'), batch.get('bbox')
+
+    # ADA pose/focal augmentation of the G batch (run.py:937-944: every
+    # sampled batch goes through augment() when augment_p > 0; for the
+    # G step only poses/focals exist, no image). In dual-L1/MSE mode the
+    # idx-0 batch is the reconstruction target and is NOT augmented
+    # (run.py:932-934).
+    recon_mode = cfg.dual_discriminator_l1 or cfg.dual_discriminator_mse
+    if cfg.augment_p_max > 0 and not recon_mode:
+        _, pose, focal, _ = augment_lib.augment(
+            rng_aug, None, pose, focal, state.augment_p,
+            cfg.white_background)
+
+    pose2 = focal2 = None
+    if cfg.dual_discriminator and batch2 is not None:
+        pose2, focal2 = batch2['pose'], batch2.get('focal')
+        if cfg.augment_p_max > 0:
+            _, pose2, focal2, _ = augment_lib.augment(
+                rng_aug2, None, pose2, focal2, state.augment_p,
+                cfg.white_background)
 
     requests = []
     if cfg.path_length_regularization:
@@ -259,16 +369,56 @@ def g_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
         requests.append('entropy_loss')
 
     def loss_fn(params_g):
+        cond = embed_condition(gen, params_g, cfg, batch)
         out, extra = generator_forward(gen, params_g, batch['z'], pose,
                                        focal, center, bbox, cfg, rng_fwd,
-                                       tuple(requests))
+                                       tuple(requests), cond=cond)
         rgb = out.rgb
         if cfg.supervise_alpha:
             rgb = jnp.concatenate((rgb, out.mask[..., None]), axis=-1)
         img = rgb.transpose(0, 3, 1, 2)
-        logits = disc.apply(state.params_d, img, pose, None, focal)
-        loss = gan_loss(logits, True)
-        metrics = {'loss_g': loss}
+        metrics = {}
+        if recon_mode:
+            # D1 replaced by a 10x recon loss against the (blur-warmup)
+            # conditioning image (run.py:992-999).
+            z_img = batch['image'][..., :3].transpose(0, 3, 1, 2)
+            z_img = blur_image(z_img, i, cfg.white_background)
+            diff = img - z_img
+            loss = 10.0 * (jnp.mean(jnp.square(diff))
+                           if cfg.dual_discriminator_mse
+                           else jnp.mean(jnp.abs(diff)))
+        else:
+            cond_d = (batch.get('class') if cfg.use_class else
+                      (batch['image'][..., :3].transpose(0, 3, 1, 2)
+                       if cfg.use_encoder else None))
+            logits = disc.apply(state.params_d, img, pose, cond_d, focal)
+            loss = gan_loss(logits, True)
+        metrics['loss_g'] = loss
+        if cfg.dual_discriminator:
+            loss = loss / 2.0
+            # Second pass: same z + conditioning, fresh unconditional
+            # poses, second discriminator (run.py:963-1010).
+            out2, _ = generator_forward(gen, params_g, batch['z'], pose2,
+                                        focal2, batch2.get('center'),
+                                        batch2.get('bbox'), cfg, rng_fwd2,
+                                        (), cond=cond)
+            rgb2 = out2.rgb
+            if cfg.supervise_alpha:
+                rgb2 = jnp.concatenate((rgb2, out2.mask[..., None]),
+                                       axis=-1)
+            img2 = rgb2.transpose(0, 3, 1, 2)
+            d2_params = (state.params_d if disc2 == 'shared'
+                         else state.params_d2)
+            d2_mod = disc if disc2 == 'shared' else disc2
+            # D2 is unconditional on the IMAGE embedding but keeps class
+            # conditioning when use_class (the reference passes None here,
+            # run.py:1003-1004, which would crash its own num_classes D —
+            # an unrunnable path upstream; we keep the labels).
+            cond2 = batch2.get('class') if cfg.use_class else None
+            logits2 = d2_mod.apply(d2_params, img2, pose2, cond2, focal2)
+            loss2 = gan_loss(logits2, True)
+            metrics['loss_g_uncond'] = loss2
+            loss = loss + loss2 / 2.0
 
         if cfg.use_sdf:
             eik = jnp.mean(extra['sdf_eikonal_loss'])
@@ -324,71 +474,188 @@ def g_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
     return new_state, metrics
 
 
-def d_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
-           fake_batch: Dict[str, jnp.ndarray],
-           gen: Generator, disc: Discriminator, opt_d, cfg: GANConfig,
-           use_r1_now: bool,
-           blur_active: bool) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
-    """One discriminator update (run.py:1074-1190).
-
-    `batch` is the real-phase data; `fake_batch` supplies fresh poses + z
-    for the fake phase. `use_r1_now` / `blur_active` are static (two
-    compilations each).
-    """
-    i = state.iteration
-    rng, rng_fake, rng_aug_r, rng_aug_f = jax.random.split(state.rng, 4)
-
-    # Real phase ----------------------------------------------------------
-    real_img = batch['image']  # (B, H, W, nc) in [-1, 1]
-    real_nchw = real_img.transpose(0, 3, 1, 2)
+def _prepare_d_real(state, batch, cfg, rng_aug, i, blur_active):
+    """Real-phase input prep: ADA augment (+highres anti-alias) then blur
+    warmup (run.py:937-944, 1090)."""
+    pose_r, focal_r = batch['pose'], batch.get('focal')
+    if cfg.augment_p_max > 0:
+        use_highres = cfg.is_highres and 'image_highres' in batch
+        img_in = (batch['image_highres'] if use_highres
+                  else batch['image']).transpose(0, 3, 1, 2)
+        img_aug, pose_r, focal_r, _ = augment_lib.augment(
+            rng_aug, img_in, pose_r, focal_r, state.augment_p,
+            cfg.white_background)
+        if use_highres:
+            b_, c_, h_, w_ = img_aug.shape
+            img_aug = img_aug.reshape(b_, c_, h_ // 2, 2, w_ // 2,
+                                      2).mean(axis=(3, 5))
+        real_nchw = img_aug
+    else:
+        real_nchw = batch['image'].transpose(0, 3, 1, 2)
     if blur_active:
         real_nchw = blur_image(real_nchw, i, cfg.white_background)
-    pose_r, focal_r = batch['pose'], batch.get('focal')
+    return real_nchw, pose_r, focal_r
 
-    # Fake phase (G frozen) -------------------------------------------------
+
+def _render_fake(state, fake_batch, gen, cfg, rng_fake, rng_aug,
+                 conditional):
+    """Fake-phase render with frozen G (run.py:1121-1139); the G is
+    conditioned on the fake batch's image/class when in encoder/class
+    mode and this is the conditional discriminator's phase."""
     pose_f, focal_f = fake_batch['pose'], fake_batch.get('focal')
+    if cfg.augment_p_max > 0:
+        _, pose_f, focal_f, _ = augment_lib.augment(
+            rng_aug, None, pose_f, focal_f, state.augment_p,
+            cfg.white_background)
+    cond = (embed_condition(gen, state.params_g, cfg, fake_batch)
+            if conditional else None)
     out_fake, _ = generator_forward(gen, state.params_g, fake_batch['z'],
-                                    pose_f, focal_f, fake_batch.get('center'),
-                                    fake_batch.get('bbox'), cfg, rng_fake)
+                                    pose_f, focal_f,
+                                    fake_batch.get('center'),
+                                    fake_batch.get('bbox'), cfg, rng_fake,
+                                    cond=cond)
     rgb_fake = out_fake.rgb
     if cfg.supervise_alpha:
         rgb_fake = jnp.concatenate((rgb_fake, out_fake.mask[..., None]),
                                    axis=-1)
-    fake_nchw = jax.lax.stop_gradient(rgb_fake.transpose(0, 3, 1, 2))
+    return jax.lax.stop_gradient(rgb_fake.transpose(0, 3, 1, 2)), \
+        pose_f, focal_f
 
-    def loss_fn(params_d):
-        def d_real_logits(img):
-            return disc.apply(params_d, img, pose_r, None, focal_r)
 
-        logits_real = d_real_logits(real_nchw)
-        loss_real = gan_loss(logits_real, True)
+def _d_phase_loss(disc_mod, params, real, fake, cond_real, cond_fake, cfg,
+                  use_r1_now):
+    """Real + R1 + fake losses for one discriminator (run.py:1090-1141)."""
+    real_nchw, pose_r, focal_r = real
+    fake_nchw, pose_f, focal_f = fake
 
-        grad_penalty = 0.0
-        if use_r1_now:
-            g = jax.grad(lambda im: jnp.sum(d_real_logits(im)))(real_nchw)
-            grad_penalty = jnp.mean(
-                jnp.sum(jnp.square(g.reshape(g.shape[0], -1)), axis=1))
+    def d_real_logits(img):
+        return disc_mod.apply(params, img, pose_r, cond_real, focal_r)
 
-        logits_fake = disc.apply(params_d, fake_nchw, pose_f, None, focal_f)
-        loss_fake = gan_loss(logits_fake, False)
+    logits_real = d_real_logits(real_nchw)
+    loss_real = gan_loss(logits_real, True)
 
-        loss = loss_real + (cfg.r1 / 2.0) * grad_penalty + loss_fake
-        metrics = {
-            'loss_d_real': loss_real,
-            'loss_d_fake': loss_fake,
-            'loss_r1': grad_penalty,
-            'sign_real': jnp.mean(jnp.sign(logits_real)),
-        }
-        return loss, metrics
+    grad_penalty = 0.0
+    if use_r1_now:
+        g = jax.grad(lambda im: jnp.sum(d_real_logits(im)))(real_nchw)
+        grad_penalty = jnp.mean(
+            jnp.sum(jnp.square(g.reshape(g.shape[0], -1)), axis=1))
 
-    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params_d)
-    metrics['grad_norm_d'] = optax.global_norm(grads)
+    logits_fake = disc_mod.apply(params, fake_nchw, pose_f, cond_fake,
+                                 focal_f)
+    loss_fake = gan_loss(logits_fake, False)
+    loss = loss_real + (cfg.r1 / 2.0) * grad_penalty + loss_fake
+    return loss, loss_real, loss_fake, grad_penalty, \
+        jnp.mean(jnp.sign(logits_real))
 
-    updates, new_opt_d = opt_d.update(grads, state.opt_d, state.params_d)
-    params_d = optax.apply_updates(state.params_d, updates)
 
-    # ADA control every 4 D-steps (run.py:1147-1163).
+def d_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
+           fake_batch: Dict[str, jnp.ndarray],
+           gen: Generator, disc: Discriminator, opt_d, cfg: GANConfig,
+           use_r1_now: bool, blur_active: bool,
+           batch2: Optional[Dict[str, jnp.ndarray]] = None,
+           fake_batch2: Optional[Dict[str, jnp.ndarray]] = None,
+           disc2=None) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+    """One discriminator update (run.py:1074-1190).
+
+    `batch` is the real-phase data; `fake_batch` supplies fresh poses + z
+    for the fake phase. `use_r1_now` / `blur_active` are static (two
+    compilations each). With `cfg.dual_discriminator`, `batch2` /
+    `fake_batch2` feed the second (unconditional) discriminator; when
+    `disc2 == 'shared'` both phases train the same parameters. The ADA
+    controller listens to the UNCONDITIONAL discriminator
+    (run.py:953, 1153).
+    """
+    i = state.iteration
+    rng, rng_fake, rng_fake2, rng_aug_r, rng_aug_f, rng_aug_r2, \
+        rng_aug_f2 = jax.random.split(state.rng, 7)
+
+    recon_mode = cfg.dual_discriminator_l1 or cfg.dual_discriminator_mse
+    has_d1 = not recon_mode
+    has_d2 = cfg.dual_discriminator and disc2 is not None
+
+    if has_d1:
+        real1 = _prepare_d_real(state, batch, cfg, rng_aug_r, i,
+                                blur_active)
+        fake1_img, pose_f1, focal_f1 = _render_fake(
+            state, fake_batch, gen, cfg, rng_fake, rng_aug_f,
+            conditional=True)
+        cond_real1 = (batch.get('class') if cfg.use_class else
+                      (batch['image'][..., :3].transpose(0, 3, 1, 2)
+                       if cfg.use_encoder else None))
+        cond_fake1 = (fake_batch.get('class') if cfg.use_class else
+                      (fake_batch['image'][..., :3].transpose(0, 3, 1, 2)
+                       if cfg.use_encoder else None))
+    if has_d2:
+        b2 = batch2 if batch2 is not None else batch
+        fb2 = fake_batch2 if fake_batch2 is not None else fake_batch
+        real2 = _prepare_d_real(state, b2, cfg, rng_aug_r2, i, blur_active)
+        fake2_img, pose_f2, focal_f2 = _render_fake(
+            state, fb2, gen, cfg, rng_fake2, rng_aug_f2,
+            conditional=cfg.use_encoder)  # G stays image-conditioned
+        d2_mod = disc if disc2 == 'shared' else disc2
+
+    shared = disc2 == 'shared'
+
+    def loss_fn(params_d, params_d2):
+        metrics = {}
+        total = 0.0
+        sign_uncond = jnp.zeros(())
+        if has_d1:
+            loss1, lr1, lf1, gp1, sign1 = _d_phase_loss(
+                disc, params_d, real1, (fake1_img, pose_f1, focal_f1),
+                cond_real1, cond_fake1, cfg, use_r1_now)
+            suffix = '_cond' if has_d2 else ''
+            metrics[f'loss_d_real{suffix}'] = lr1
+            metrics[f'loss_d_fake{suffix}'] = lf1
+            metrics['loss_r1'] = gp1
+            total = total + loss1
+            sign_uncond = sign1
+        if has_d2:
+            p2 = params_d if shared else params_d2
+            cond_real2 = b2.get('class') if cfg.use_class else None
+            cond_fake2 = fb2.get('class') if cfg.use_class else None
+            loss2, lr2, lf2, gp2, sign2 = _d_phase_loss(
+                d2_mod, p2, real2, (fake2_img, pose_f2, focal_f2),
+                cond_real2, cond_fake2, cfg, use_r1_now)
+            metrics['loss_d_real'] = lr2
+            metrics['loss_d_fake'] = lf2
+            metrics['loss_r1_uncond'] = gp2
+            total = total + loss2
+            sign_uncond = sign2  # ADA listens to the unconditional D
+        metrics['sign_real'] = sign_uncond
+        return total, metrics
+
+    if has_d1 and has_d2 and not shared:
+        (loss, metrics), (grads, grads2) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params_d,
+                                                   state.params_d2)
+    elif has_d1 or shared:
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params_d, state.params_d2)
+        grads2 = None
+    else:  # only a separate D2 exists (recon mode + encoder + dual)
+        (loss, metrics), grads2 = jax.value_and_grad(
+            lambda p2: loss_fn(None, p2), has_aux=True)(state.params_d2)
+        grads = None
+
+    params_d, new_opt_d = state.params_d, state.opt_d
+    if grads is not None:
+        metrics['grad_norm_d'] = optax.global_norm(grads)
+        updates, new_opt_d = opt_d.update(grads, state.opt_d,
+                                          state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates)
+    params_d2, new_opt_d2 = state.params_d2, state.opt_d2
+    if grads2 is not None:
+        metrics['grad_norm_d2'] = optax.global_norm(grads2)
+        updates2, new_opt_d2 = opt_d.update(grads2, state.opt_d2,
+                                            state.params_d2)
+        params_d2 = optax.apply_updates(state.params_d2, updates2)
+
+    # ADA control every 4 D-steps (run.py:1147-1163). Note the reference
+    # uses the INSTANTANEOUS sign of the current step's real logits at the
+    # update iteration (run.py:1149: discriminated_real.detach().sign()
+    # .mean() inside the `i % 8 == 7` branch), not an accumulated EMA —
+    # this matches that exactly.
     augment_p = state.augment_p
     if cfg.augment_ada and cfg.augment_p_max > 0:
         ada_interval = 4
@@ -400,6 +667,8 @@ def d_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
         new_p = jnp.where(i < BLUR_WARMUP_ITERS, 0.0, new_p)
         augment_p = jnp.where(is_update, new_p, augment_p)
 
-    new_state = state.replace(params_d=params_d, opt_d=new_opt_d, rng=rng,
-                              augment_p=augment_p, iteration=i + 1)
+    new_state = state.replace(params_d=params_d, opt_d=new_opt_d,
+                              params_d2=params_d2, opt_d2=new_opt_d2,
+                              rng=rng, augment_p=augment_p,
+                              iteration=i + 1)
     return new_state, metrics

@@ -51,6 +51,8 @@ def sample_batch(train_split, batch_size: int, rng: np.random.RandomState,
         batch['bbox'] = jnp.asarray(train_split.bbox[idx])
     if train_split.center is not None:
         batch['center'] = jnp.asarray(train_split.center[idx])
+    if getattr(train_split, 'classes', None) is not None:
+        batch['class'] = jnp.asarray(train_split.classes[idx])
     if is_highres and train_split.images_highres is not None:
         batch['image_highres'] = jnp.asarray(train_split.images_highres[idx])
     if latent_rng is not None:
@@ -65,21 +67,25 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
               log_every: int = 100, seed: int = 1234):
     """Runs GAN training from state.iteration to num_iters."""
     gen, disc = gan_lib.make_models(cfg)
+    disc2 = gan_lib.make_second_discriminator(cfg)
     opt_g, opt_d = gan_lib.make_optimizers(cfg)
 
     rng_np = np.random.RandomState(seed)
     train_sampler = EndlessSampler(len(train_split.images), rng_np)
     host_key = jax.random.PRNGKey(seed + 1)
 
-    g_step = jax.jit(lambda s, b: gan_lib.g_step(s, b, gen, disc, opt_g,
-                                                 cfg))
+    dual = cfg.dual_discriminator
+    g_step = jax.jit(lambda s, b, b2=None: gan_lib.g_step(
+        s, b, gen, disc, opt_g, cfg, batch2=b2, disc2=disc2))
     d_steps = {}
     for r1 in (False, True):
         for blur in (False, True):
             d_steps[(r1, blur)] = jax.jit(
-                lambda s, br, bf, r1=r1, blur=blur: gan_lib.d_step(
+                lambda s, br, bf, br2=None, bf2=None, r1=r1, blur=blur:
+                gan_lib.d_step(
                     s, br, bf, gen, disc, opt_d, cfg, use_r1_now=r1,
-                    blur_active=blur))
+                    blur_active=blur, batch2=br2, fake_batch2=bf2,
+                    disc2=disc2))
 
     i = int(state.iteration)
     t1 = time.time()
@@ -90,19 +96,35 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
             _, batch = sample_batch(train_split, cfg.batch_size, rng_np,
                                     cfg, latent_rng=k1)
             batch = mesh_lib.shard_batch(batch, mesh)
+            b2 = None
+            if dual:
+                _, b2 = sample_batch(train_split, cfg.batch_size, rng_np,
+                                     cfg)
+                b2 = mesh_lib.shard_batch(b2, mesh)
             t1 = time.time()
-            state, metrics = g_step(state, batch)
+            state, metrics = g_step(state, batch, b2)
         else:
+            hires = cfg.is_highres and cfg.augment_p_max > 0
             _, real = sample_batch(train_split, cfg.batch_size, rng_np, cfg,
-                                   train_sampler=train_sampler)
+                                   train_sampler=train_sampler,
+                                   is_highres=hires)
             _, fake = sample_batch(train_split, cfg.batch_size, rng_np, cfg,
                                    latent_rng=k2)
             real = mesh_lib.shard_batch(real, mesh)
             fake = mesh_lib.shard_batch(fake, mesh)
+            real2 = fake2 = None
+            if dual:
+                _, real2 = sample_batch(train_split, cfg.batch_size, rng_np,
+                                        cfg, is_highres=hires)
+                _, fake2 = sample_batch(train_split, cfg.batch_size, rng_np,
+                                        cfg, latent_rng=k3)
+                real2 = mesh_lib.shard_batch(real2, mesh)
+                fake2 = mesh_lib.shard_batch(fake2, mesh)
             use_r1 = cfg.r1 > 0 and i % 2 == 1
             blur_active = i < gan_lib.BLUR_WARMUP_ITERS
             state, metrics = d_steps[(use_r1, blur_active)](state, real,
-                                                            fake)
+                                                            fake, real2,
+                                                            fake2)
             elapsed_ips = cfg.batch_size / max(time.time() - t1, 1e-9)
 
         if writer is not None and i % log_every == 0:

@@ -71,34 +71,34 @@ def _layernorm(sd, key):
 
 
 # ---------------------------------------------------------------------------
-# Generator
+# Submodule converters (used by convert_generator/… and directly by the
+# weight-parity golden tests against the reference modules)
 # ---------------------------------------------------------------------------
 
-def convert_generator(sd: Dict[str, np.ndarray],
-                      attention_values: int = 10,
-                      use_viewdir: bool = False,
-                      use_sdf: bool = True,
-                      plane_resolution: int = 256) -> Dict[str, Any]:
-    """Reference Generator state_dict -> flax {'params': ...} tree."""
-    p: Dict[str, Any] = {}
-
-    # Mapping network (2 layers).
-    mn = {}
+def convert_mapping(sd: Dict[str, np.ndarray],
+                    prefix: str = '') -> Dict[str, Any]:
+    """stylegan.MappingNetwork state dict -> flax params."""
+    mn: Dict[str, Any] = {}
     idx = 0
-    while f'mapping_network.backbone.fc{idx}.weight' in sd:
-        mn[f'fc{idx}'] = _eq_linear(sd, f'mapping_network.backbone.fc{idx}')
+    while f'{prefix}fc{idx}.weight' in sd:
+        mn[f'fc{idx}'] = _eq_linear(sd, f'{prefix}fc{idx}')
         idx += 1
-    p['mapping_network'] = mn
+    if f'{prefix}embed.weight' in sd:
+        mn['embed'] = _eq_linear(sd, f'{prefix}embed')
+    return mn
 
-    # Synthesis network.
+
+def convert_synthesis(sd: Dict[str, np.ndarray],
+                      prefix: str = '') -> Dict[str, Any]:
+    """stylegan.SynthesisNetwork state dict -> flax params."""
     syn: Dict[str, Any] = {}
     resolutions = sorted({
         int(m.group(1)) for k in sd
-        if (m := re.match(r'synthesis_network\.b(\d+)\.', k))
+        if (m := re.match(re.escape(prefix) + r'b(\d+)\.', k))
     })
     for res in resolutions:
         blk: Dict[str, Any] = {}
-        base = f'synthesis_network.b{res}'
+        base = f'{prefix}b{res}'
         if f'{base}.const' in sd:
             blk['const'] = sd[f'{base}.const']
         for conv in ('conv0', 'conv1'):
@@ -118,7 +118,72 @@ def convert_generator(sd: Dict[str, np.ndarray],
             'affine': _eq_linear(sd, f'{base}.torgb.affine'),
         }
         syn[f'b{res}'] = blk
-    p['synthesis_network'] = syn
+    return syn
+
+
+def convert_attention_mapper(sd: Dict[str, np.ndarray],
+                             prefix: str = '') -> Dict[str, Any]:
+    tm: Dict[str, Any] = {'const': sd[f'{prefix}const']}
+    for i in range(1, 5):
+        tm[f'fc{i}'] = _eq_linear(sd, f'{prefix}fc{i}', bias=False)
+        tm[f'norm{i}'] = {
+            'fc_gamma': _eq_linear(sd, f'{prefix}norm{i}.fc_gamma'),
+            'fc_beta': _eq_linear(sd, f'{prefix}norm{i}.fc_beta'),
+        }
+    tm['fc5'] = _eq_linear(sd, f'{prefix}fc5')
+    tm['fc_values'] = _eq_linear(sd, f'{prefix}fc_values')
+    return tm
+
+
+def convert_viewdir_mapper(sd: Dict[str, np.ndarray],
+                           prefix: str = '') -> Dict[str, Any]:
+    vm: Dict[str, Any] = {}
+    for i in range(7):
+        has_bias = f'{prefix}fc{i}.bias' in sd
+        vm[f'fc{i}'] = _eq_linear(sd, f'{prefix}fc{i}', bias=has_bias)
+    for i in range(1, 5):
+        vm[f'norm{i}'] = _layernorm(sd, f'{prefix}norm{i}')
+    vm['output'] = _eq_linear(sd, f'{prefix}output')
+    return vm
+
+
+def convert_seg_block(sd: Dict[str, np.ndarray],
+                      prefix: str = '') -> Dict[str, Any]:
+    """One reference SegBlock state dict -> flax SegBlock params."""
+    attn = {
+        'q': _dense(sd, f'{prefix}attn.q'),
+        'kv': _dense(sd, f'{prefix}attn.kv'),
+        'proj': _dense(sd, f'{prefix}attn.proj'),
+    }
+    if f'{prefix}attn.sr.weight' in sd:
+        attn['sr'] = _conv(sd, f'{prefix}attn.sr')
+        attn['norm'] = _layernorm(sd, f'{prefix}attn.norm')
+    return {
+        'norm1': _layernorm(sd, f'{prefix}norm1'),
+        'norm2': _layernorm(sd, f'{prefix}norm2'),
+        'attn': attn,
+        'mlp': {
+            'fc1': _dense(sd, f'{prefix}mlp.fc1'),
+            'fc2': _dense(sd, f'{prefix}mlp.fc2'),
+            'dwconv': {'dwconv': _conv(sd, f'{prefix}mlp.dwconv.dwconv')},
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+def convert_generator(sd: Dict[str, np.ndarray],
+                      attention_values: int = 10,
+                      use_viewdir: bool = False,
+                      use_sdf: bool = True,
+                      plane_resolution: int = 256) -> Dict[str, Any]:
+    """Reference Generator state_dict -> flax {'params': ...} tree."""
+    p: Dict[str, Any] = {}
+
+    p['mapping_network'] = convert_mapping(sd, 'mapping_network.backbone.')
+    p['synthesis_network'] = convert_synthesis(sd, 'synthesis_network.')
 
     # Triplanar decoder (net.0 / net.2).
     p['decoder'] = {
@@ -131,27 +196,10 @@ def convert_generator(sd: Dict[str, np.ndarray],
         p['alpha'] = sd['alpha']
 
     if attention_values > 0:
-        tm: Dict[str, Any] = {'const': sd['texture_mapper.const']}
-        for i in range(1, 5):
-            tm[f'fc{i}'] = _eq_linear(sd, f'texture_mapper.fc{i}', bias=False)
-            tm[f'norm{i}'] = {
-                'fc_gamma': _eq_linear(sd, f'texture_mapper.norm{i}.fc_gamma'),
-                'fc_beta': _eq_linear(sd, f'texture_mapper.norm{i}.fc_beta'),
-            }
-        tm['fc5'] = _eq_linear(sd, 'texture_mapper.fc5')
-        tm['fc_values'] = _eq_linear(sd, 'texture_mapper.fc_values')
-        p['texture_mapper'] = tm
+        p['texture_mapper'] = convert_attention_mapper(sd, 'texture_mapper.')
 
     if use_viewdir:
-        vm: Dict[str, Any] = {}
-        for i in range(7):
-            has_bias = f'viewdir_mapper.fc{i}.bias' in sd
-            vm[f'fc{i}'] = _eq_linear(sd, f'viewdir_mapper.fc{i}',
-                                      bias=has_bias)
-        for i in range(1, 5):
-            vm[f'norm{i}'] = _layernorm(sd, f'viewdir_mapper.norm{i}')
-        vm['output'] = _eq_linear(sd, 'viewdir_mapper.output')
-        p['viewdir_mapper'] = vm
+        p['viewdir_mapper'] = convert_viewdir_mapper(sd, 'viewdir_mapper.')
 
     return {'params': p}
 
@@ -214,26 +262,7 @@ def convert_segformer(sd: Dict[str, np.ndarray],
         }
         for j in range(depths[i - 1]):
             base = f'{prefix}block{i}.{j}'
-            attn = {
-                'q': _dense(sd, f'{base}.attn.q'),
-                'kv': _dense(sd, f'{base}.attn.kv'),
-                'proj': _dense(sd, f'{base}.attn.proj'),
-            }
-            if f'{base}.attn.sr.weight' in sd:
-                attn['sr'] = _conv(sd, f'{base}.attn.sr')
-                attn['norm'] = _layernorm(sd, f'{base}.attn.norm')
-            p[f'block{i}_{j}'] = {
-                'norm1': _layernorm(sd, f'{base}.norm1'),
-                'norm2': _layernorm(sd, f'{base}.norm2'),
-                'attn': attn,
-                'mlp': {
-                    'fc1': _dense(sd, f'{base}.mlp.fc1'),
-                    'fc2': _dense(sd, f'{base}.mlp.fc2'),
-                    'dwconv': {
-                        'dwconv': _conv(sd, f'{base}.mlp.dwconv.dwconv'),
-                    },
-                },
-            }
+            p[f'block{i}_{j}'] = convert_seg_block(sd, f'{base}.')
         p[f'norm{i}'] = _layernorm(sd, f'{prefix}norm{i}')
     # Decode head (present in trained encoders, absent in mit_b5 weights).
     for i in range(1, 5):

@@ -2,7 +2,12 @@ import os
 
 # Tests always run on a virtual 8-device CPU mesh so sharding logic is
 # exercised without TPU hardware (and hermetically on any machine).
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# FORCE the platform: the environment may pre-set JAX_PLATFORMS to a TPU
+# plugin (and register it via a sitecustomize on PYTHONPATH) — a
+# setdefault here silently ran the whole suite on the TPU backend with
+# bf16 matmul defaults and per-op tunnel latency.
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
@@ -14,6 +19,10 @@ import sys  # noqa: E402
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The TPU plugin's sitecustomize sets the jax_platforms CONFIG (which
+# outranks the env var) — force it back before any backend initializes.
+jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compilation cache: XLA CPU compiles are slow on small
 # containers; cache makes test re-runs fast.
