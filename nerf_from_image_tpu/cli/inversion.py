@@ -183,6 +183,18 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
         scene_range=dataset_config['scene_range'],
         attention_values=args.attention_values)
 
+    # Real-data Inception stats for fid_front/fid_random (run.py:385-413).
+    if inception_apply is not None and not args.inv_export_demo_sample:
+        cache_dir = os.path.join(args.root_path, 'fid_stats')
+        train_eval_split.fid_stats = pipe.compute_real_fid_stats(
+            train_eval_split.images, inception_apply, batch_size,
+            os.path.join(cache_dir, f'fid_stats_{args.dataset}_train.npz'))
+        if use_testset and test_split is not None:
+            test_split.fid_stats = pipe.compute_real_fid_stats(
+                test_split.images, inception_apply, batch_size,
+                os.path.join(cache_dir,
+                             f'fid_stats_{args.dataset}_test.npz'))
+
     report = pipe.make_report(checkpoint_steps)
     encoder_apply = jax.jit(lambda p, x: encoder.apply(p, x,
                                                        deterministic=True))
@@ -194,6 +206,15 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
 
     idx = 0
     key = jax.random.PRNGKey(4321)
+    # Mid-run resume (run.py:1858-1871).
+    report_ckpt_path = os.path.join(report_dir_eff, 'report_checkpoint.npz')
+    if not args.inv_export_demo_sample:
+        idx, saved_key = pipe.load_report_checkpoint(report_ckpt_path,
+                                                     report)
+        if saved_key is not None:
+            key = jnp.asarray(saved_key)
+        if idx:
+            print(f'Resumed inversion report at image {idx}')
     while idx < len(image_indices):
         t1 = time.time()
         sel = image_indices[idx:idx + batch_size]
@@ -240,7 +261,8 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
                 perm_cameras=(perm_cam, perm_focal, perm_center, perm_bbox),
                 target_img_random=target_img_random,
                 compute_rot_error=not (args.dataset == 'p3d_car' and
-                                       use_testset))
+                                       use_testset),
+                valid=valid)
 
         if niter > 0:
             key, sub = jax.random.split(key)
@@ -252,7 +274,8 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
                 perm_cameras=(perm_cam, perm_focal, perm_center, perm_bbox),
                 target_img_random=target_img_random,
                 compute_rot_error=not (args.dataset == 'p3d_car' and
-                                       use_testset))
+                                       use_testset),
+                valid=valid)
 
         t2 = time.time()
         idx += valid
@@ -264,9 +287,9 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
                         mask, dataset_config, niter)
             break
 
-        if idx % 512 == 0:
-            np.savez(os.path.join(report_dir_eff, 'report_checkpoint.npz'),
-                     idx=idx)
+        if idx % 512 == 0 and not args.inv_export_demo_sample:
+            pipe.save_report_checkpoint(report_ckpt_path, report, idx,
+                                        np.asarray(key))
 
     if not args.inv_export_demo_sample:
         report, report_str = pipe.consolidate_report(
@@ -319,14 +342,17 @@ def load_inception_apply(args):
 
 def export_demo(args, ctx, inv_cfg, params, target_img, coords, mask,
                 dataset_config, it):
-    """Exports the side-by-side demo strip (run.py:2058-2159)."""
+    """Exports the side-by-side demo strip
+    [input | coords | recon | normals | novel view] (run.py:2058-2159)."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
+    from nerf_from_image_tpu.core import pose as pose_utils
     from nerf_from_image_tpu.invert import optimizer as inv_opt
 
     out, cam, focal = inv_opt.render_from_params(
         ctx.gen, ctx.gen_vars, params, inv_cfg,
-        compute_normals=ctx.attention_values >= 0 and False)
+        compute_normals=args.use_sdf)
     recon = np.asarray(jnp.clip(out.rgb, -1, 1))
 
     strips = [np.asarray(target_img)[..., :3]]
@@ -337,6 +363,21 @@ def export_demo(args, ctx, inv_cfg, params, target_img, coords, mask,
             coords_img = coords_img + (1 - mask[..., None])
         strips.append(coords_img)
     strips.append(recon)
+    if out.normals is not None:
+        strips.append(np.asarray(jnp.clip(out.normals, -1, 1)))
+
+    # Novel view: the recovered camera rotated ~50 degrees about the
+    # world up-axis (run.py:2141-2159 renders a second viewpoint of the
+    # same inverted object).
+    angle = np.deg2rad(50.0)
+    rot = np.asarray([[np.cos(angle), 0, np.sin(angle), 0],
+                      [0, 1, 0, 0],
+                      [-np.sin(angle), 0, np.cos(angle), 0],
+                      [0, 0, 0, 1]], np.float32)
+    cam_novel = jnp.asarray(rot)[None] @ cam
+    out_novel, _, _ = inv_opt.render_from_params(
+        ctx.gen, ctx.gen_vars, params, inv_cfg, override_cam=cam_novel)
+    strips.append(np.asarray(jnp.clip(out_novel.rgb, -1, 1)))
     strip = np.concatenate(strips, axis=2) / 2 + 0.5
 
     os.makedirs('outputs', exist_ok=True)

@@ -65,8 +65,11 @@ def make_camera(params: InversionParams, camera_flipped: bool):
 
 def render_from_params(gen: Generator, gen_vars, params: InversionParams,
                        cfg: InversionConfig, center=None, bbox=None,
-                       compute_normals=False, compute_semantics=False):
+                       compute_normals=False, compute_semantics=False,
+                       override_cam=None):
     cam, focal = make_camera(params, cfg.camera_flipped)
+    if override_cam is not None:
+        cam = override_cam
     ws = params.z * cfg.lr_gain_z
     if ws.shape[1] == 1:
         num_ws = 14 + (1 if gen.attention_values > 0 else 0)

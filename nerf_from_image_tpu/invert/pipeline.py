@@ -102,14 +102,25 @@ def evaluate_checkpoint(ctx: EvalContext, cfg: inv_opt.InversionConfig,
                         params: inv_opt.InversionParams, report_entry,
                         target_img_fid, target_center_fid, target_bbox_fid,
                         gt_cam2world, perm_cameras=None,
-                        target_img_random=None, compute_rot_error=True):
-    """Metrics at a checkpoint step (run.py:2020-2195)."""
-    report_entry['ws'].append(np.asarray(params.z) * cfg.lr_gain_z)
+                        target_img_random=None, compute_rot_error=True,
+                        valid: Optional[int] = None):
+    """Metrics at a checkpoint step (run.py:2020-2195).
+
+    `valid`: number of non-padded rows in the batch — straggler batches
+    are padded to the jit shape and the padded rows must never enter the
+    report means (the reference instead falls back to bs=1,
+    run.py:1878-1880).
+    """
+    def app(key, arr):
+        arr = np.asarray(arr)
+        report_entry[key].append(arr if valid is None else arr[:valid])
+
+    app('ws', np.asarray(params.z) * cfg.lr_gain_z)
     if params.z0 is not None:
-        report_entry['z0'].append(np.asarray(params.z0))
-    report_entry['R'].append(np.asarray(params.R))
-    report_entry['s'].append(np.asarray(params.s))
-    report_entry['t2'].append(np.asarray(params.t2))
+        app('z0', params.z0)
+    app('R', params.R)
+    app('s', params.s)
+    app('t2', params.t2)
 
     out, cam, focal = inv_opt.render_from_params(
         ctx.gen, ctx.gen_vars, params, cfg, center=target_center_fid,
@@ -119,26 +130,23 @@ def evaluate_checkpoint(ctx: EvalContext, cfg: inv_opt.InversionConfig,
 
     pred01 = pred[:, :3] / 2 + 0.5
     target01 = target[:, :3] / 2 + 0.5
-    report_entry['psnr'].append(np.asarray(
-        image_metrics.psnr(jnp.asarray(pred01), jnp.asarray(target01),
-                           reduction='none')))
-    report_entry['ssim'].append(np.asarray(
-        image_metrics.ssim(jnp.asarray(pred01), jnp.asarray(target01),
-                           reduction='none')))
+    app('psnr', image_metrics.psnr(jnp.asarray(pred01),
+                                   jnp.asarray(target01), reduction='none'))
+    app('ssim', image_metrics.ssim(jnp.asarray(pred01),
+                                   jnp.asarray(target01), reduction='none'))
     if ctx.has_mask and target.shape[1] > 3:
-        report_entry['iou'].append(np.asarray(
-            image_metrics.iou(jnp.asarray(np.asarray(out.mask)),
-                              jnp.asarray(target[:, 3]), reduction='none')))
+        app('iou', image_metrics.iou(jnp.asarray(np.asarray(out.mask)),
+                                     jnp.asarray(target[:, 3]),
+                                     reduction='none'))
     lp = ctx.lpips.apply(ctx.lpips_vars, jnp.asarray(pred[:, :3]),
                          jnp.asarray(target[:, :3]))
-    report_entry['lpips'].append(np.asarray(lp).flatten())
+    app('lpips', np.asarray(lp).flatten())
     if ctx.inception_apply is not None:
-        report_entry['inception_activations_front'].append(
-            np.asarray(ctx.inception_apply(jnp.asarray(pred01))))
+        app('inception_activations_front',
+            ctx.inception_apply(jnp.asarray(pred01)))
     if compute_rot_error and gt_cam2world is not None:
-        report_entry['rot_error'].append(np.asarray(
-            pose_utils.rotation_matrix_distance(cam,
-                                                jnp.asarray(gt_cam2world))))
+        app('rot_error', pose_utils.rotation_matrix_distance(
+            cam, jnp.asarray(gt_cam2world)))
 
     # Novel-view metrics (run.py:2124-2179).
     if perm_cameras is not None:
@@ -169,18 +177,16 @@ def evaluate_checkpoint(ctx: EvalContext, cfg: inv_opt.InversionConfig,
         if target_img_random is not None:
             tr = np.asarray(target_img_random).transpose(0, 3, 1, 2)
             tr01 = tr[:, :3] / 2 + 0.5
-            report_entry['psnr_random'].append(np.asarray(
-                image_metrics.psnr(jnp.asarray(pred_r01), jnp.asarray(tr01),
-                                   reduction='none')))
-            report_entry['ssim_random'].append(np.asarray(
-                image_metrics.ssim(jnp.asarray(pred_r01), jnp.asarray(tr01),
-                                   reduction='none')))
+            app('psnr_random', image_metrics.psnr(
+                jnp.asarray(pred_r01), jnp.asarray(tr01), reduction='none'))
+            app('ssim_random', image_metrics.ssim(
+                jnp.asarray(pred_r01), jnp.asarray(tr01), reduction='none'))
             lp_r = ctx.lpips.apply(ctx.lpips_vars, jnp.asarray(pred_r[:, :3]),
                                    jnp.asarray(tr[:, :3]))
-            report_entry['lpips_random'].append(np.asarray(lp_r).flatten())
+            app('lpips_random', np.asarray(lp_r).flatten())
         if ctx.inception_apply is not None:
-            report_entry['inception_activations_random'].append(
-                np.asarray(ctx.inception_apply(jnp.asarray(pred_r01))))
+            app('inception_activations_random',
+                ctx.inception_apply(jnp.asarray(pred_r01)))
 
 
 def consolidate_report(report, train_fid_stats=None, test_fid_stats=None):
@@ -221,6 +227,60 @@ def consolidate_report(report, train_fid_stats=None, test_fid_stats=None):
         add_fid('inception_activations_random', 'fid_random')
         report_str_full += report_str + '\n'
     return report, report_str_full
+
+
+def save_report_checkpoint(path: str, report, idx: int, key) -> None:
+    """Mid-run resume state (run.py:2329-2336): the full accumulated
+    report + position + RNG key."""
+    flat = {'__idx__': np.asarray(idx), '__key__': np.asarray(key)}
+    for step, entry in report.items():
+        for k, v in entry.items():
+            for i, arr in enumerate(v):
+                flat[f'{step}/{k}/{i}'] = np.asarray(arr)
+    np.savez_compressed(path, **flat)
+
+
+def load_report_checkpoint(path: str, report):
+    """Restores a mid-run checkpoint into `report` (run.py:1858-1871).
+    Returns (idx, key) or (0, None) when absent."""
+    if not os.path.exists(path):
+        return 0, None
+    data = np.load(path)
+    # Rebuild each metric list in append order (the /i suffix preserves it).
+    for step in report:
+        for k in report[step]:
+            names = sorted((n for n in data.files
+                            if n.startswith(f'{step}/{k}/')),
+                           key=lambda n: int(n.rsplit('/', 1)[1]))
+            report[step][k] = [data[n] for n in names]
+    idx = int(data['__idx__'])
+    key = data['__key__'] if '__key__' in data.files else None
+    return idx, key
+
+
+def compute_real_fid_stats(images, inception_apply, batch_size: int = 8,
+                           cache_path: Optional[str] = None):
+    """Frozen Inception stats over real images in [-1, 1] NHWC
+    (run.py:385-403). Cached to disk when cache_path is given."""
+    if inception_apply is None:
+        return None
+    if cache_path is not None and os.path.exists(cache_path):
+        data = np.load(cache_path)
+        return data['mu'], data['sigma']
+    acts = []
+    for i in range(0, len(images), batch_size):
+        im = images[i:i + batch_size]
+        pad = batch_size - len(im)
+        if pad:
+            im = np.concatenate([im, np.repeat(im[-1:], pad, 0)], 0)
+        im01 = jnp.asarray(im[..., :3].transpose(0, 3, 1, 2)) / 2 + 0.5
+        a = np.asarray(inception_apply(im01))
+        acts.append(a[:batch_size - pad] if pad else a)
+    stats = fid_lib.calculate_stats(np.concatenate(acts, 0))
+    if cache_path is not None:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        np.savez(cache_path, mu=stats[0], sigma=stats[1])
+    return stats
 
 
 def save_report(report, report_str: str, out_dir: str, header: str = ''):
