@@ -1,5 +1,5 @@
-// Native PnP pose solver: EPnP initialization + Levenberg-Marquardt
-// refinement, self-contained (no Eigen/OpenCV dependency).
+// Native PnP pose solver: SQPnP primary, EPnP fallback, Levenberg-
+// Marquardt refinement — self-contained (no Eigen/OpenCV dependency).
 //
 // Replaces the reference's OpenCV calls (lib/pose_estimation.py:30-131)
 // with the same contract: per-image foreground 3D<->2D correspondences,
@@ -641,6 +641,221 @@ PnPResult lm_refine(const double* pw, const double* uv, int n, double f,
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// SQPnP (Terzakis & Lourakis, ECCV 2020): PnP as a quadratically
+// constrained quadratic program over vec(R), solved by sequential
+// quadratic programming from the small-eigenvalue eigenvectors of the
+// data matrix. Matches the reference solver chain's primary attempt
+// (lib/pose_estimation.py:60-61 uses cv2.SOLVEPNP_SQPNP first).
+// ---------------------------------------------------------------------------
+
+// Solves a dense n x n linear system in place (partial pivoting).
+// Returns false when singular.
+bool solve_linear(std::vector<double>& a, std::vector<double>& b, int n) {
+  for (int col = 0; col < n; ++col) {
+    int piv = col;
+    for (int r = col + 1; r < n; ++r)
+      if (std::fabs(a[r * n + col]) > std::fabs(a[piv * n + col])) piv = r;
+    if (std::fabs(a[piv * n + col]) < 1e-14) return false;
+    if (piv != col) {
+      for (int c = 0; c < n; ++c) std::swap(a[col * n + c], a[piv * n + c]);
+      std::swap(b[col], b[piv]);
+    }
+    double inv = 1.0 / a[col * n + col];
+    for (int r = col + 1; r < n; ++r) {
+      double fac = a[r * n + col] * inv;
+      if (fac == 0.0) continue;
+      for (int c = col; c < n; ++c) a[r * n + c] -= fac * a[col * n + c];
+      b[r] -= fac * b[col];
+    }
+  }
+  for (int r = n - 1; r >= 0; --r) {
+    double s = b[r];
+    for (int c = r + 1; c < n; ++c) s -= a[r * n + c] * b[c];
+    b[r] = s / a[r * n + r];
+  }
+  return true;
+}
+
+// Nearest rotation to a 3x3 matrix (Davenport q-method: the quaternion is
+// the leading eigenvector of the symmetric 4x4 profile matrix).
+void nearest_rotation(const double* m, Mat3& R) {
+  const double m00 = m[0], m01 = m[1], m02 = m[2];
+  const double m10 = m[3], m11 = m[4], m12 = m[5];
+  const double m20 = m[6], m21 = m[7], m22 = m[8];
+  std::vector<double> K = {
+      m00 + m11 + m22, m21 - m12,       m02 - m20,       m10 - m01,
+      m21 - m12,       m00 - m11 - m22, m01 + m10,       m02 + m20,
+      m02 - m20,       m01 + m10,       m11 - m00 - m22, m12 + m21,
+      m10 - m01,       m02 + m20,       m12 + m21,       m22 - m00 - m11};
+  std::vector<double> evals, evecs;
+  jacobi_eigen(K, 4, evals, evecs);
+  // Largest eigenvalue is last (ascending); eigenvectors are columns.
+  double qw = evecs[0 * 4 + 3], qx = evecs[1 * 4 + 3];
+  double qy = evecs[2 * 4 + 3], qz = evecs[3 * 4 + 3];
+  double nq = std::sqrt(qw * qw + qx * qx + qy * qy + qz * qz);
+  qw /= nq; qx /= nq; qy /= nq; qz /= nq;
+  R.m[0] = 1 - 2 * (qy * qy + qz * qz);
+  R.m[1] = 2 * (qx * qy - qz * qw);
+  R.m[2] = 2 * (qx * qz + qy * qw);
+  R.m[3] = 2 * (qx * qy + qz * qw);
+  R.m[4] = 1 - 2 * (qx * qx + qz * qz);
+  R.m[5] = 2 * (qy * qz - qx * qw);
+  R.m[6] = 2 * (qx * qz - qy * qw);
+  R.m[7] = 2 * (qy * qz + qx * qw);
+  R.m[8] = 1 - 2 * (qx * qx + qy * qy);
+}
+
+// Orthogonality residuals h(r) in R^6 for r = vec(R) by rows.
+void so3_residuals(const double* r, double* h) {
+  const double* r1 = r;
+  const double* r2 = r + 3;
+  const double* r3 = r + 6;
+  auto dot3 = [](const double* a, const double* b) {
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2];
+  };
+  h[0] = dot3(r1, r1) - 1.0;
+  h[1] = dot3(r2, r2) - 1.0;
+  h[2] = dot3(r3, r3) - 1.0;
+  h[3] = dot3(r1, r2);
+  h[4] = dot3(r1, r3);
+  h[5] = dot3(r2, r3);
+}
+
+PnPResult sqpnp_solve(const double* pw, const double* uv, int n, double f) {
+  PnPResult result;
+  if (n < 4) return result;
+
+  // Accumulate Omega = sum A_i^T W_i A_i  and the t-elimination blocks,
+  // with W_i = Q_i^T Q_i, Q_i = [1 0 -u; 0 1 -v] (image coords on the
+  // unit-focal plane).
+  double sw[9] = {0};      // sum W_i (3x3)
+  std::vector<double> swa(27, 0.0);  // sum W_i A_i (3x9)
+  std::vector<double> omega(81, 0.0);  // sum A_i^T W_i A_i (9x9)
+  for (int i = 0; i < n; ++i) {
+    const double u = uv[2 * i] / f;
+    const double v = uv[2 * i + 1] / f;
+    const double* p = pw + 3 * i;
+    // W = [[1, 0, -u], [0, 1, -v], [-u, -v, u^2+v^2]].
+    const double W[9] = {1, 0, -u, 0, 1, -v, -u, -v, u * u + v * v};
+    for (int a = 0; a < 9; ++a) sw[a] += W[a];
+    // A_i has rows [p 0 0; 0 p 0; 0 0 p] => (W A)_{a, 3b+c} = W[a,b] p[c].
+    for (int a = 0; a < 3; ++a)
+      for (int b = 0; b < 3; ++b)
+        for (int c = 0; c < 3; ++c)
+          swa[a * 9 + 3 * b + c] += W[a * 3 + b] * p[c];
+    // (A^T W A)_{3a+c, 3b+d} = W[a,b] p[c] p[d].
+    for (int a = 0; a < 3; ++a)
+      for (int b = 0; b < 3; ++b) {
+        const double w = W[a * 3 + b];
+        if (w == 0.0) continue;
+        for (int c = 0; c < 3; ++c)
+          for (int d = 0; d < 3; ++d)
+            omega[(3 * a + c) * 9 + (3 * b + d)] += w * p[c] * p[d];
+      }
+  }
+
+  // P = -(sum W)^{-1} (sum W A): solve 3x3 systems for each column.
+  std::vector<double> P(27, 0.0);
+  for (int col = 0; col < 9; ++col) {
+    std::vector<double> a(sw, sw + 9);
+    std::vector<double> b = {swa[0 * 9 + col], swa[1 * 9 + col],
+                             swa[2 * 9 + col]};
+    if (!solve_linear(a, b, 3)) return result;
+    P[0 * 9 + col] = -b[0];
+    P[1 * 9 + col] = -b[1];
+    P[2 * 9 + col] = -b[2];
+  }
+  // Omega -= P^T (sum W) P  (the reduced quadratic form after
+  // eliminating t; equals sum (A+P)^T W (A+P)).
+  for (int a = 0; a < 9; ++a)
+    for (int b = 0; b < 9; ++b) {
+      double s = 0;
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j)
+          s += P[i * 9 + a] * sw[i * 3 + j] * P[j * 9 + b];
+      omega[a * 9 + b] -= s;
+    }
+
+  std::vector<double> evals, evecs;
+  jacobi_eigen(omega, 9, evals, evecs);
+
+  // SQP from +/- each of the 3 smallest-eigenvalue eigenvectors (the
+  // unconstrained minima come in sign pairs whose nearest rotations
+  // differ; starting from both covers the mirrored basin).
+  const int kStarts = 6;
+  for (int s_idx = 0; s_idx < kStarts; ++s_idx) {
+    const double sign = (s_idx & 1) ? -1.0 : 1.0;
+    double e[9];
+    for (int a = 0; a < 9; ++a) e[a] = sign * evecs[a * 9 + (s_idx / 2)];
+    Mat3 R0;
+    nearest_rotation(e, R0);
+    double r[9];
+    std::memcpy(r, R0.m, sizeof(r));
+
+    for (int it = 0; it < 15; ++it) {
+      double h[6];
+      so3_residuals(r, h);
+      // KKT system: [2*Omega  H^T; H  0] [delta; lambda] = [-2*Omega r; -h].
+      const int kn = 15;
+      std::vector<double> kkt(kn * kn, 0.0), rhs(kn, 0.0);
+      for (int a = 0; a < 9; ++a)
+        for (int b = 0; b < 9; ++b) kkt[a * kn + b] = 2.0 * omega[a * 9 + b];
+      // H = dh/dr (6x9).
+      double H[6][9] = {{0}};
+      for (int d = 0; d < 3; ++d) {
+        for (int c = 0; c < 3; ++c) H[d][3 * d + c] = 2.0 * r[3 * d + c];
+      }
+      const int pairs[3][2] = {{0, 1}, {0, 2}, {1, 2}};
+      for (int pi = 0; pi < 3; ++pi) {
+        int a = pairs[pi][0], b = pairs[pi][1];
+        for (int c = 0; c < 3; ++c) {
+          H[3 + pi][3 * a + c] = r[3 * b + c];
+          H[3 + pi][3 * b + c] = r[3 * a + c];
+        }
+      }
+      for (int cr = 0; cr < 6; ++cr)
+        for (int cc = 0; cc < 9; ++cc) {
+          kkt[(9 + cr) * kn + cc] = H[cr][cc];
+          kkt[cc * kn + (9 + cr)] = H[cr][cc];
+        }
+      for (int a = 0; a < 9; ++a) {
+        double s = 0;
+        for (int b = 0; b < 9; ++b) s += omega[a * 9 + b] * r[b];
+        rhs[a] = -2.0 * s;
+      }
+      for (int cr = 0; cr < 6; ++cr) rhs[9 + cr] = -h[cr];
+      if (!solve_linear(kkt, rhs, kn)) break;
+      double step = 0;
+      for (int a = 0; a < 9; ++a) {
+        r[a] += rhs[a];
+        step += rhs[a] * rhs[a];
+      }
+      if (step < 1e-20) break;
+    }
+
+    // Project back to SO(3), recover t, keep positive-depth candidates
+    // (select_best_valid_pose semantics: tvec z must be > 0).
+    Mat3 Rc;
+    nearest_rotation(r, Rc);
+    Vec3 t;
+    for (int a = 0; a < 3; ++a) {
+      double s = 0;
+      for (int b = 0; b < 9; ++b) s += P[a * 9 + b] * Rc.m[b];
+      t.v[a] = s;
+    }
+    if (t.v[2] <= 0) continue;
+    double err = mean_reproj_error(pw, uv, n, f, Rc, t);
+    if (err < result.err) {
+      result.R = Rc;
+      result.t = t;
+      result.err = err;
+      result.valid = true;
+    }
+  }
+  return result;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -685,7 +900,12 @@ void nfi_solve_pnp_batch(const double* coords, const uint8_t* masks, int bs,
     if (n >= 4) {
       for (int fi = 0; fi < n_focals; ++fi) {
         double f = focals[fi];
-        PnPResult cand = epnp_solve(pts_xyz.data(), pts_uv.data(), n, f);
+        // Solver chain parity (lib/pose_estimation.py:57-75): SQPnP
+        // first, EPnP as fallback when it yields no valid pose, then
+        // iterative refinement from the chosen candidate.
+        PnPResult cand = sqpnp_solve(pts_xyz.data(), pts_uv.data(), n, f);
+        if (!cand.valid)
+          cand = epnp_solve(pts_xyz.data(), pts_uv.data(), n, f);
         if (!cand.valid) continue;
         if (refine) {
           PnPResult refined = lm_refine(pts_xyz.data(), pts_uv.data(), n, f,
@@ -724,6 +944,6 @@ void nfi_solve_pnp_batch(const double* coords, const uint8_t* masks, int bs,
   }
 }
 
-int nfi_pnp_version() { return 1; }
+int nfi_pnp_version() { return 2; }  // 2: SQPnP primary solver
 
 }  // extern "C"
