@@ -113,7 +113,36 @@ def main(argv=None):
     state = mesh_lib.replicate(state, mesh)
 
     resume_label = None
-    if args.resume_from:
+    if args.resume_from and args.resume_from.endswith('.pth'):
+        # Literal reference-checkpoint path (run.py:102-132 third form):
+        # convert the torch state dicts in place. Optimizer moments are
+        # framework-specific and restart fresh (documented divergence).
+        from nerf_from_image_tpu.utils import torch_convert as tc
+        import torch
+        print('Converting reference checkpoint', args.resume_from)
+        with open(args.resume_from, 'rb') as f:
+            ckpt_t = torch.load(f, map_location='cpu', weights_only=False)
+        conv = lambda sd: tc.convert_generator(
+            {k: tc._np(v) for k, v in sd.items()},
+            attention_values=args.attention_values,
+            use_viewdir=args.use_viewdir, use_sdf=args.use_sdf)
+        updates = {}
+        if ckpt_t.get('model') is not None:
+            updates['params_g'] = conv(ckpt_t['model'])
+        updates['ema_params_g'] = conv(ckpt_t['model_ema'])
+        if ckpt_t.get('discriminator') is not None:
+            updates['params_d'] = tc.convert_discriminator(
+                {k: tc._np(v) for k, v in ckpt_t['discriminator'].items()})
+        state = state.replace(
+            iteration=jnp.asarray(int(ckpt_t.get('iteration', 0)),
+                                  jnp.int32),
+            augment_p=jnp.asarray(float(ckpt_t.get('augment_p', 0.0))),
+            ppl_running_avg=jnp.asarray(
+                float(ckpt_t.get('ppl_running_avg') or -1.0)),
+            **updates)
+        state = mesh_lib.replicate(state, mesh)
+        print('Resumed (converted) from iteration', int(state.iteration))
+    elif args.resume_from:
         # Resume syntax: name | name+iter (run.py:102-132).
         if '+' in args.resume_from:
             name, it = args.resume_from.split('+')

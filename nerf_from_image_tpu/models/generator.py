@@ -218,13 +218,27 @@ class TriplanarDecoder(nn.Module):
 
     The gather runs on a packed quad table (ops/triplane.py): one aligned
     128-lane row gather per point per plane instead of 12 narrow ones.
+    `mlp()` is exposed separately so the windowed Pallas sampler
+    (ops/pallas/triplane_window.py) can supply the gathered features.
     """
     num_input_features: int = 32
     num_output_features: int = 3
     hidden_dim: int = 64
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.fc0 = stylegan.EqualizedLinear(self.hidden_dim,
+                                            dtype=self.dtype, name='fc0')
+        self.fc1 = stylegan.EqualizedLinear(1 + self.num_output_features,
+                                            dtype=self.dtype, name='fc1')
+
+    def mlp(self, x):
+        """Gathered triplane features (..., C) -> decoder outputs dict."""
+        x = self.fc0(x)
+        x = jax.nn.softplus(x)
+        x = self.fc1(x)
+        return {'features': x[..., 1:], 'density_or_distance': x[..., :1]}
+
     def __call__(self, packed_planes, coords, plane_resolution: int):
         """packed_planes (B, 3*R*R, 4C); coords (B, ..., 3) in [-1, 1].
 
@@ -232,12 +246,7 @@ class TriplanarDecoder(nn.Module):
         """
         x = triplane_ops.sample_packed_triplane(packed_planes, coords,
                                                 plane_resolution)
-        x = stylegan.EqualizedLinear(self.hidden_dim, dtype=self.dtype,
-                                     name='fc0')(x)
-        x = jax.nn.softplus(x)
-        x = stylegan.EqualizedLinear(1 + self.num_output_features,
-                                     dtype=self.dtype, name='fc1')(x)
-        return {'features': x[..., 1:], 'density_or_distance': x[..., :1]}
+        return self.mlp(x)
 
 
 @flax.struct.dataclass
@@ -247,6 +256,7 @@ class GeneratorState:
     packed_planes: Optional[jnp.ndarray] = None  # (B, 3*R*R, 128)
     attention_values: Optional[jnp.ndarray] = None  # (B, K, 3)
     viewdir_embedding: Optional[jnp.ndarray] = None  # (B, Rays, 1, F)
+    dma_planes: Optional[jnp.ndarray] = None  # (B, 3, R, R*C) bf16 (pallas)
 
     @property
     def plane_resolution(self) -> int:
@@ -272,6 +282,9 @@ class Generator(nn.Module):
     use_sdf: bool = True
     num_classes: Optional[int] = None
     img_resolution: int = 256
+    # Windowed Pallas triplane sampler for structured (B, H, W, S, 3)
+    # point grids (inference path; the VJP for training stays XLA).
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -360,13 +373,18 @@ class Generator(nn.Module):
             att = None
         planes = self.synthesize_planes(w_synth, noise_mode, noise_rng)
         packed = triplane_ops.pack_triplane(planes)
+        dma_planes = None
+        if self.use_pallas:
+            from nerf_from_image_tpu.ops.pallas import triplane_window
+            dma_planes = triplane_window.plane_layout_for_dma(planes)
         vd_emb = None
         if self.use_viewdir and viewdirs is not None:
             vd = viewdirs.reshape(viewdirs.shape[0], -1, 1, 3)
             vd_emb = self.viewdir_mapper.embed(vd)
         return GeneratorState(planes=planes, packed_planes=packed,
                               attention_values=att,
-                              viewdir_embedding=vd_emb)
+                              viewdir_embedding=vd_emb,
+                              dma_planes=dma_planes)
 
     # ---- Point decoding ---------------------------------------------------
 
@@ -433,7 +451,23 @@ class Generator(nn.Module):
             outputs['normals'] = (grad / jnp.maximum(norm, 1e-12)).reshape(
                 bs, -1, 3)
 
-        dec = decode_density(x_in)
+        # Windowed Pallas sampler: used for structured point grids when
+        # enabled and no point-gradient (normals) is requested — the
+        # kernel has no VJP; everything downstream of the gathered
+        # features differentiates normally.
+        use_windowed = (
+            self.use_pallas and state.dma_planes is not None and
+            x_in.ndim == 5 and 'normals' not in requests and
+            x_in.shape[1] % 8 == 0 and x_in.shape[2] % 8 == 0 and
+            x_in.shape[3] % 4 == 0)
+        if use_windowed:
+            from nerf_from_image_tpu.ops.pallas import triplane_window
+            coords_n = jnp.clip(x_in / self.scene_range, -1.0, 1.0)
+            feats, _resid = triplane_window.sample_triplane_windowed(
+                state.planes, state.dma_planes, packed, coords_n)
+            dec = self.decoder.mlp(feats.astype(self.dtype))
+        else:
+            dec = decode_density(x_in)
         density_or_distance = dec['density_or_distance']
         features = dec['features']
 

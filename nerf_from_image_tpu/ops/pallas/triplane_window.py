@@ -122,11 +122,14 @@ def _window_kernel(u_ref, v_ref, org_ref, planes_ref, fold_ref, out_ref,
     # Start all three window DMAs up front.
     copies = []
     for pl_idx in range(3):
-        y0 = org_ref[0, 0, pl_idx, 0]
-        x0 = org_ref[0, 0, pl_idx, 1]
+        # Origins are 8-row / 4-texel aligned by construction
+        # (prepare_blocks); the hints let Mosaic prove tiled-slice
+        # divisibility for the dynamic HBM offsets.
+        y0 = pl.multiple_of(org_ref[0, 0, pl_idx, 0], 8)
+        x0c = pl.multiple_of(org_ref[0, 0, pl_idx, 1] * C, 128)
         dma = pltpu.make_async_copy(
             planes_ref.at[bi, pl_idx, pl.ds(y0, win),
-                          pl.ds(x0 * C, win * C)],
+                          pl.ds(x0c, win * C)],
             win_scratch.at[pl_idx],
             sems.at[pl_idx],
         )
@@ -252,28 +255,44 @@ def sample_triplane_windowed(
 
     # Exact fix-up of overflowed points through the XLA quad-table path.
     # overflow is per (plane, point); any plane overflowing invalidates
-    # the point's value.
+    # the point's value. One flat global scatter over (B*N, C) — a
+    # per-batch vmap'd scatter was ~5x slower.
     ov_block = jnp.any(overflow, axis=2)  # (B, NB, P)
     ov_flat = _unblock(ov_block[..., None].astype(jnp.int32),
                        b, h, w, s, tile, slab)[..., 0] > 0  # (B, N)
-    cap = max(int(n * overflow_capacity_frac), 256)
+    cap = max(int(b * n * overflow_capacity_frac), 256)
 
     if packed_planes is None:
         packed_planes = triplane_ops.pack_triplane(planes)
 
-    coords_flat = coords.reshape(b, n, 3)
+    flat_ov = ov_flat.reshape(-1)  # (B*N,)
+    gidx, = jnp.nonzero(flat_ov, size=cap, fill_value=0)
+    bi = (gidx // n).astype(jnp.int32)
+    pi = gidx - bi * n
+    pts = coords.reshape(b * n, 3)[gidx]  # gather cap rows
+    # Per-point plane sample against the owning image's quad table:
+    # fold the batch into the row index of a flattened table.
+    rr3 = packed_planes.shape[1]
+    packed_flat = packed_planes.reshape(b * rr3, packed_planes.shape[-1])
+    u, v = _project_texel(pts.astype(jnp.float32), r)  # (3, cap)
+    good = 0.0
+    for p_idx in range(3):
+        fx = jnp.floor(jnp.clip(u[p_idx], 0, r - 1))
+        fy = jnp.floor(jnp.clip(v[p_idx], 0, r - 1))
+        tx = (u[p_idx] - fx)[:, None]
+        ty = (v[p_idx] - fy)[:, None]
+        row = (bi * rr3 + p_idx * r * r +
+               fy.astype(jnp.int32) * r + fx.astype(jnp.int32))
+        quad = jnp.take(packed_flat, row, axis=0).reshape(cap, 4, C)
+        wts = jnp.stack(((1 - tx) * (1 - ty), tx * (1 - ty),
+                         (1 - tx) * ty, tx * ty), axis=1)
+        good = good + jnp.sum(quad * wts.astype(quad.dtype), axis=1)
+    good = good / 3.0
 
-    def fix_one(feats_b, ov_b, coords_b, packed_b):
-        idx, = jnp.nonzero(ov_b, size=cap, fill_value=0)
-        pts = jnp.take(coords_b, idx, axis=0)
-        good = triplane_ops.sample_packed_triplane(
-            packed_b[None], pts[None], r)[0]  # (cap, C)
-        valid = jnp.take(ov_b, idx)  # False for fill slots
-        cur = jnp.take(feats_b, idx, axis=0)
-        new = jnp.where(valid[:, None], good.astype(feats_b.dtype), cur)
-        return feats_b.at[idx].set(new)
-
-    feats = jax.vmap(fix_one)(feats, ov_flat, coords_flat, packed_planes)
-    resid = jnp.maximum(
-        jnp.sum(ov_flat.astype(jnp.int32), axis=-1) - cap, 0).sum()
+    feats_flat = feats.reshape(b * n, C)
+    valid = flat_ov[gidx]
+    cur = feats_flat[gidx]
+    new = jnp.where(valid[:, None], good.astype(feats_flat.dtype), cur)
+    feats = feats_flat.at[gidx].set(new).reshape(b, n, C)
+    resid = jnp.maximum(jnp.sum(flat_ov.astype(jnp.int32)) - cap, 0)
     return feats, resid

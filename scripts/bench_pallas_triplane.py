@@ -77,6 +77,18 @@ def main():
     _, _, _, ov = jax.jit(lambda c: tw.prepare_blocks(c, R))(coords)
     frac = float(jnp.mean(jnp.any(ov, axis=2).astype(jnp.float32)))
     print(f'overflow fraction: {frac:.4%}')
+
+    # On-device parity (scalar stats only; no big host transfers).
+    @jax.jit
+    def parity(planes, pdma, packed, coords):
+        a, _ = tw.sample_triplane_windowed(planes, pdma, packed, coords)
+        bref = tri.sample_packed_triplane(packed,
+                                          coords.reshape(batch, -1, 3), R)
+        d = jnp.abs(a.astype(jnp.float32) - bref.astype(jnp.float32))
+        return jnp.max(d), jnp.mean(d)
+
+    mx, mn = parity(planes, pdma, packed, coords)
+    print(f'on-device parity: max={float(mx):.5f} mean={float(mn):.6f}')
     print(f'speedup kernel-only: {t_xla / t_k:.2f}x; full: '
           f'{t_xla / t_p:.2f}x; points/s: {batch * n / t_p / 1e6:.1f}M')
 
