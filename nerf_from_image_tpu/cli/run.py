@@ -186,6 +186,10 @@ def main(argv=None):
     inception_apply = make_inception_apply(args)
     lpips_apply = make_lpips_apply(args) if args.use_encoder else None
     gen, _ = gan_lib.make_models(cfg)
+    if args.use_pallas:
+        # Eval renders are gradient-free: route them through the
+        # windowed Pallas sampler (same params, no extra state).
+        gen = gen.clone(use_pallas=True)
     evaluator = GANEvaluator(
         cfg, dataset_config, args.dataset, train_split, train_eval_split,
         test_split, inception_apply=inception_apply,

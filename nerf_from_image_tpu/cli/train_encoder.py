@@ -25,6 +25,10 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
 
     encoder = BootstrapEncoder(latent_dim=args.latent_dim,
                                separate_backbones=args.inv_use_separate)
+    # Distillation targets are frozen-EMA renders (stop_gradient), so the
+    # windowed Pallas sampler can serve them (no VJP needed).
+    if getattr(args, 'use_pallas', 0):
+        gen = gen.clone(use_pallas=True)
     cfg = enc_lib.EncoderConfig(
         resolution=args.resolution, latent_dim=args.latent_dim,
         depth_samples_per_ray=64 if args.fine_sampling else 128,

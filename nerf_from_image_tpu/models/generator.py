@@ -459,7 +459,8 @@ class Generator(nn.Module):
             self.use_pallas and state.dma_planes is not None and
             x_in.ndim == 5 and 'normals' not in requests and
             x_in.shape[1] % 8 == 0 and x_in.shape[2] % 8 == 0 and
-            x_in.shape[3] % 4 == 0)
+            x_in.shape[3] % 4 == 0 and
+            state.plane_resolution >= 64)  # window must fit the plane
         if use_windowed:
             from nerf_from_image_tpu.ops.pallas import triplane_window
             coords_n = jnp.clip(x_in / self.scene_range, -1.0, 1.0)

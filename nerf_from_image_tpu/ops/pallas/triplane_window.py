@@ -173,9 +173,14 @@ def _window_kernel(u_ref, v_ref, org_ref, planes_ref, fold_ref, out_ref,
 
 
 def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
-                        win: int = WIN, interpret: bool = False):
+                        win: int = WIN, interpret=None):
     """Runs the kernel. planes_dma: (B, 3, R, R*C) bf16;
-    u/v: (B, NB, 3, P); origins: (B, NB, 3, 2). Returns (B, NB, P, C)."""
+    u/v: (B, NB, 3, P); origins: (B, NB, 3, 2). Returns (B, NB, P, C).
+
+    interpret=None auto-selects the Pallas interpreter on non-TPU
+    backends (so the same code path runs in CPU tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
     b, _, r, _ = planes_dma.shape
     nb, p = u.shape[1], u.shape[3]
     fold = jnp.asarray(_fold_matrix(win), jnp.bfloat16)
@@ -227,7 +232,7 @@ def sample_triplane_windowed(
     tile: int = TILE,
     slab: int = SLAB,
     win: int = WIN,
-    interpret: bool = False,
+    interpret=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full windowed sampler with exact overflow correction.
 
@@ -250,49 +255,54 @@ def sample_triplane_windowed(
     n = h * w * s
     u, v, origins, overflow = prepare_blocks(coords, r, tile, slab, win)
     feats = sample_windowed_raw(planes_dma, u, v, origins, win,
-                                interpret=interpret)
-    feats = _unblock(feats, b, h, w, s, tile, slab)
+                                interpret=interpret)  # (B, NB, P, C)
 
-    # Exact fix-up of overflowed points through the XLA quad-table path.
-    # overflow is per (plane, point); any plane overflowing invalidates
-    # the point's value. One flat global scatter over (B*N, C) — a
-    # per-batch vmap'd scatter was ~5x slower.
-    ov_block = jnp.any(overflow, axis=2)  # (B, NB, P)
-    ov_flat = _unblock(ov_block[..., None].astype(jnp.int32),
-                       b, h, w, s, tile, slab)[..., 0] > 0  # (B, N)
-    cap = max(int(b * n * overflow_capacity_frac), 256)
+    # Exact fix-up of overflowed points through the XLA quad-table path,
+    # selected at BLOCK granularity: nonzero over the (B*NB) block flags
+    # is ~100x cheaper than point-granular selection over B*N, and
+    # overflow is spatially clustered (silhouette blocks) anyway.
+    nb, p = feats.shape[1], feats.shape[2]
+    ov_any = jnp.any(overflow, axis=(2, 3))  # (B, NB)
+    flat_ov = ov_any.reshape(-1)  # (B*NB,)
+    cap_b = max(int(b * nb * overflow_capacity_frac), 4)
 
     if packed_planes is None:
         packed_planes = triplane_ops.pack_triplane(planes)
-
-    flat_ov = ov_flat.reshape(-1)  # (B*N,)
-    gidx, = jnp.nonzero(flat_ov, size=cap, fill_value=0)
-    bi = (gidx // n).astype(jnp.int32)
-    pi = gidx - bi * n
-    pts = coords.reshape(b * n, 3)[gidx]  # gather cap rows
-    # Per-point plane sample against the owning image's quad table:
-    # fold the batch into the row index of a flattened table.
     rr3 = packed_planes.shape[1]
     packed_flat = packed_planes.reshape(b * rr3, packed_planes.shape[-1])
-    u, v = _project_texel(pts.astype(jnp.float32), r)  # (3, cap)
+
+    sel, = jnp.nonzero(flat_ov, size=cap_b, fill_value=0)  # block ids
+    bi = (sel // nb).astype(jnp.int32)
+    # Re-block the coords identically to prepare_blocks and gather the
+    # selected blocks' points.
+    ht, wt, ks = h // tile, w // tile, s // slab
+    cb = coords.reshape(b, ht, tile, wt, tile, ks, slab, 3)
+    cb = cb.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b * nb, p, 3)
+    pts = cb[sel].reshape(cap_b * p, 3)  # (cap_b*P, 3)
+
+    uu, vv = _project_texel(pts.astype(jnp.float32), r)  # (3, cap_b*P)
+    bi_pt = jnp.repeat(bi, p)
     good = 0.0
     for p_idx in range(3):
-        fx = jnp.floor(jnp.clip(u[p_idx], 0, r - 1))
-        fy = jnp.floor(jnp.clip(v[p_idx], 0, r - 1))
-        tx = (u[p_idx] - fx)[:, None]
-        ty = (v[p_idx] - fy)[:, None]
-        row = (bi * rr3 + p_idx * r * r +
-               fy.astype(jnp.int32) * r + fx.astype(jnp.int32))
-        quad = jnp.take(packed_flat, row, axis=0).reshape(cap, 4, C)
+        fx = jnp.floor(uu[p_idx])
+        fy = jnp.floor(vv[p_idx])
+        tx = (uu[p_idx] - fx)[:, None]
+        ty = (vv[p_idx] - fy)[:, None]
+        fxi = jnp.minimum(fx.astype(jnp.int32), r - 1)
+        fyi = jnp.minimum(fy.astype(jnp.int32), r - 1)
+        row = bi_pt * rr3 + p_idx * r * r + fyi * r + fxi
+        quad = jnp.take(packed_flat, row, axis=0).reshape(cap_b * p, 4, C)
         wts = jnp.stack(((1 - tx) * (1 - ty), tx * (1 - ty),
                          (1 - tx) * ty, tx * ty), axis=1)
         good = good + jnp.sum(quad * wts.astype(quad.dtype), axis=1)
-    good = good / 3.0
+    good = (good / 3.0).reshape(cap_b, p, C)
 
-    feats_flat = feats.reshape(b * n, C)
-    valid = flat_ov[gidx]
-    cur = feats_flat[gidx]
-    new = jnp.where(valid[:, None], good.astype(feats_flat.dtype), cur)
-    feats = feats_flat.at[gidx].set(new).reshape(b, n, C)
-    resid = jnp.maximum(jnp.sum(flat_ov.astype(jnp.int32)) - cap, 0)
+    feats_flat = feats.reshape(b * nb, p, C)
+    valid = flat_ov[sel]
+    cur = feats_flat[sel]
+    new = jnp.where(valid[:, None, None], good.astype(feats.dtype), cur)
+    feats = feats_flat.at[sel].set(new).reshape(b, nb, p, C)
+
+    feats = _unblock(feats, b, h, w, s, tile, slab)
+    resid = jnp.maximum(jnp.sum(flat_ov.astype(jnp.int32)) - cap_b, 0)
     return feats, resid

@@ -47,3 +47,42 @@ def test_gradients_flow_to_planes_and_coords():
     g2 = jax.grad(lambda c: jnp.sum(jax.grad(f, argnums=1)(planes, c) ** 2))(
         coords)
     assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_generator_pallas_path_matches_xla():
+    """Renderer-level parity: Generator(use_pallas=True) through the full
+    render equals the XLA gather path (kernel runs in interpreter mode on
+    the CPU test backend)."""
+    import jax
+    from nerf_from_image_tpu.models.generator import Generator
+    from nerf_from_image_tpu.render import render as render_fn
+
+    kwargs = dict(latent_dim=32, scene_range=0.55, attention_values=4,
+                  use_sdf=True, img_resolution=64)
+    gen_x = Generator(**kwargs)
+    gen_p = Generator(use_pallas=True, **kwargs)
+    z0 = jnp.zeros((1, 32))
+    variables = jax.jit(gen_x.init)(jax.random.PRNGKey(0), z0)
+
+    def forward(gen):
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
+        ws = gen.apply(variables, z, method=Generator.map)
+        state = gen.apply(variables, ws, method=Generator.synthesize)
+
+        def sample_fn(pts, reqs):
+            return gen.apply(variables, state, pts, reqs,
+                             method=Generator.sample)
+
+        cam = jnp.broadcast_to(jnp.eye(4), (1, 4, 4)).at[:, 2, 3].set(2.0)
+        out = render_fn(sample_fn, 16, 16, cam, jnp.full((1,), 1.2), None,
+                        None, scene_range=0.55, white_background=True,
+                        depth_samples_per_ray=4, rng=None,
+                        fine_sampling=True)
+        return out.rgb, out.mask
+
+    rgb_x, mask_x = jax.jit(lambda: forward(gen_x))()
+    rgb_p, mask_p = jax.jit(lambda: forward(gen_p))()
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_x),
+                               atol=3e-2)
+    np.testing.assert_allclose(np.asarray(mask_p), np.asarray(mask_x),
+                               atol=3e-2)
