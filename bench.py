@@ -33,6 +33,7 @@ def main():
 
     gen = Generator(latent_dim=512, scene_range=0.55, attention_values=10,
                     use_sdf=True, img_resolution=256,
+                    use_pallas=True,  # windowed triplane sampler
                     dtype=jnp.bfloat16)
     z0 = jnp.zeros((batch, 512))
     variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z0)

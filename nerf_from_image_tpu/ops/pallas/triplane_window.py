@@ -115,37 +115,59 @@ def _fold_matrix(win: int) -> np.ndarray:
     return f
 
 
-def _window_kernel(u_ref, v_ref, org_ref, planes_ref, fold_ref, out_ref,
-                   win_scratch, sems, *, win: int, p: int, r: int):
-    """One (image, block) step: 3 windows DMA'd + bilinear via MXU."""
-    bi = pl.program_id(0)
-    # Start all three window DMAs up front.
+def _start_window_dmas(planes_ref, org_ref, bi, win_scratch, sems, slot,
+                       win: int):
+    """Issues the 3 plane-window DMAs for the block whose (1, 3, 2) SMEM
+    origin slice is `org_ref` into double-buffer `slot`. Origins are
+    8-row / 4-texel aligned by construction (prepare_blocks);
+    pl.multiple_of lets Mosaic prove tiled-slice divisibility for the
+    dynamic HBM offsets."""
     copies = []
     for pl_idx in range(3):
-        # Origins are 8-row / 4-texel aligned by construction
-        # (prepare_blocks); the hints let Mosaic prove tiled-slice
-        # divisibility for the dynamic HBM offsets.
-        y0 = pl.multiple_of(org_ref[0, 0, pl_idx, 0], 8)
-        x0c = pl.multiple_of(org_ref[0, 0, pl_idx, 1] * C, 128)
+        y0 = pl.multiple_of(org_ref[0, pl_idx, 0], 8)
+        x0c = pl.multiple_of(org_ref[0, pl_idx, 1] * C, 128)
         dma = pltpu.make_async_copy(
-            planes_ref.at[bi, pl_idx, pl.ds(y0, win),
-                          pl.ds(x0c, win * C)],
-            win_scratch.at[pl_idx],
-            sems.at[pl_idx],
+            planes_ref.at[bi, pl_idx, pl.ds(y0, win), pl.ds(x0c, win * C)],
+            win_scratch.at[slot, pl_idx],
+            sems.at[slot, pl_idx],
         )
         dma.start()
         copies.append(dma)
+    return copies
+
+
+def _window_kernel(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
+                   fold_ref, out_ref, win_scratch, sems, *, win: int,
+                   p: int, nb: int, num_blocks: int):
+    """One flat block step, double-buffered: block i+1's windows prefetch
+    while block i computes (DMA latency was the dominant cost when issued
+    and awaited in the same step)."""
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+    next_slot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        _start_window_dmas(planes_ref, org_smem, i // nb, win_scratch,
+                           sems, slot, win)
+
+    @pl.when(i + 1 < num_blocks)
+    def _():
+        _start_window_dmas(planes_ref, org_next_smem, (i + 1) // nb,
+                           win_scratch, sems, next_slot, win)
 
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (p, win), 1)
     lane_x = jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1) // C
 
     acc = jnp.zeros((p, C), jnp.float32)
     for pl_idx in range(3):
-        copies[pl_idx].wait()
-        y0 = org_ref[0, 0, pl_idx, 0]
-        x0 = org_ref[0, 0, pl_idx, 1]
-        vv = v_ref[0, 0, pl_idx, :] - y0.astype(jnp.float32)
-        uu = u_ref[0, 0, pl_idx, :] - x0.astype(jnp.float32)
+        pltpu.make_async_copy(win_scratch.at[slot, pl_idx],
+                              win_scratch.at[slot, pl_idx],
+                              sems.at[slot, pl_idx]).wait()
+        y0 = org_smem[0, pl_idx, 0]
+        x0 = org_smem[0, pl_idx, 1]
+        vv = v_ref[0, pl_idx, :] - y0.astype(jnp.float32)
+        uu = u_ref[0, pl_idx, :] - x0.astype(jnp.float32)
         # Clamp into the window (overflowed points are fixed up outside).
         vv = jnp.clip(vv, 0.0, win - 2.0)
         uu = jnp.clip(uu, 0.0, win - 2.0)
@@ -159,7 +181,7 @@ def _window_kernel(u_ref, v_ref, org_ref, planes_ref, fold_ref, out_ref,
         oh_y = ((rows_i == fyi) * (1.0 - ty) +
                 (rows_i == fyi + 1) * ty).astype(jnp.bfloat16)
         g = jax.lax.dot_general(
-            oh_y, win_scratch[pl_idx],
+            oh_y, win_scratch[slot, pl_idx],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (p, win*C)
         m = ((lane_x == fxi) * (1.0 - tx) + (lane_x == fxi + 1) * tx)
@@ -169,7 +191,7 @@ def _window_kernel(u_ref, v_ref, org_ref, planes_ref, fold_ref, out_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    out_ref[0, 0] = (acc / 3.0).astype(out_ref.dtype)
+    out_ref[0] = (acc / 3.0).astype(out_ref.dtype)
 
 
 def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
@@ -183,35 +205,45 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
         interpret = jax.default_backend() != 'tpu'
     b, _, r, _ = planes_dma.shape
     nb, p = u.shape[1], u.shape[3]
+    num_blocks = b * nb
     fold = jnp.asarray(_fold_matrix(win), jnp.bfloat16)
 
-    kernel = functools.partial(_window_kernel, win=win, p=p, r=r)
+    kernel = functools.partial(_window_kernel, win=win, p=p, nb=nb,
+                               num_blocks=num_blocks)
+    org_flat = origins.reshape(num_blocks, 3, 2)
+    # Next-block origins, per-step SMEM slice (lets the kernel prefetch
+    # block i+1's windows without holding the whole origin table in SMEM).
+    org_next = jnp.concatenate((org_flat[1:], org_flat[-1:]), axis=0)
     out = pl.pallas_call(
         kernel,
-        grid=(b, nb),
+        grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 1, 3, p), lambda bi, ni: (bi, ni, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3, p), lambda bi, ni: (bi, ni, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3, 2), lambda bi, ni: (bi, ni, 0, 0),
+            pl.BlockSpec((1, 3, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # planes stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fold matrix
         ],
-        out_specs=pl.BlockSpec((1, 1, p, C), lambda bi, ni: (bi, ni, 0, 0),
+        out_specs=pl.BlockSpec((1, p, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nb, p, C), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((num_blocks, p, C), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((3, win, win * C), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 3, win, win * C), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u.astype(jnp.float32), v.astype(jnp.float32), origins, planes_dma,
-      fold)
-    return out
+    )(org_flat, org_next,
+      u.astype(jnp.float32).reshape(num_blocks, 3, p),
+      v.astype(jnp.float32).reshape(num_blocks, 3, p),
+      planes_dma, fold)
+    return out.reshape(b, nb, p, C)
 
 
 def _unblock(x: jnp.ndarray, b, h, w, s, tile, slab):
