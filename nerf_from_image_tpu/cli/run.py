@@ -214,7 +214,10 @@ def main(argv=None):
 
     state = loop_lib.train_gan(state, cfg, train_split, mesh,
                                num_iters=args.iterations, writer=writer,
-                               ckpt_manager=ckpt, eval_fn=eval_fn)
+                               ckpt_manager=ckpt, eval_fn=eval_fn,
+                               profile_trace_at=args.profile_trace_at,
+                               trace_dir=os.path.join(tensorboard_dir,
+                                                      'trace'))
     ckpt.save(state, 'latest')
     print('Training done.')
 

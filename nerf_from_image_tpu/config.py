@@ -85,6 +85,10 @@ def parse_args(argv=None):
                         'devices on one data axis)')
     parser.add_argument('--compute_dtype', type=str, default='bfloat16',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--profile_trace_at', type=int, default=0,
+                        help='capture a jax.profiler trace around this '
+                             'training iteration (0 = disabled); written '
+                             'to <tensorboard_dir>/trace')
     parser.add_argument('--use_pallas', type=int, default=1,
                         help='Enable Pallas kernels on TPU (0 = XLA paths)')
 

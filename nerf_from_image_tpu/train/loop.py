@@ -64,7 +64,8 @@ def sample_batch(train_split, batch_size: int, rng: np.random.RandomState,
 def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
               train_split, mesh, num_iters: int,
               writer=None, ckpt_manager=None, eval_fn=None,
-              log_every: int = 100, seed: int = 1234):
+              log_every: int = 100, seed: int = 1234,
+              profile_trace_at: int = 0, trace_dir: str = ''):
     """Runs GAN training from state.iteration to num_iters."""
     gen, disc = gan_lib.make_models(cfg)
     disc2 = gan_lib.make_second_discriminator(cfg)
@@ -92,6 +93,12 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
     elapsed_ips = 0.0
     while i < num_iters:
         host_key, k1, k2, k3 = jax.random.split(host_key, 4)
+        if profile_trace_at and i == profile_trace_at and trace_dir:
+            from nerf_from_image_tpu.utils import profiling
+            trace_ctx = profiling.trace(trace_dir)
+        else:
+            import contextlib
+            trace_ctx = contextlib.nullcontext()
         if i % 2 == 0:
             _, batch = sample_batch(train_split, cfg.batch_size, rng_np,
                                     cfg, latent_rng=k1)
@@ -102,7 +109,9 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
                                      cfg)
                 b2 = mesh_lib.shard_batch(b2, mesh)
             t1 = time.time()
-            state, metrics = g_step(state, batch, b2)
+            with trace_ctx:
+                state, metrics = g_step(state, batch, b2)
+                jax.block_until_ready(metrics)
         else:
             hires = cfg.is_highres and cfg.augment_p_max > 0
             _, real = sample_batch(train_split, cfg.batch_size, rng_np, cfg,
