@@ -372,11 +372,16 @@ class Generator(nn.Module):
             w_synth = ws
             att = None
         planes = self.synthesize_planes(w_synth, noise_mode, noise_rng)
-        packed = triplane_ops.pack_triplane(planes)
         dma_planes = None
         if self.use_pallas:
+            # Pallas mode: the windowed sampler reads the DMA layout and
+            # the overflow fixup gathers raw texels from it — the 4x-sized
+            # quad table is never built (6.4 GB saved at batch 32/256^2).
             from nerf_from_image_tpu.ops.pallas import triplane_window
             dma_planes = triplane_window.plane_layout_for_dma(planes)
+            packed = None
+        else:
+            packed = triplane_ops.pack_triplane(planes)
         vd_emb = None
         if self.use_viewdir and viewdirs is not None:
             vd = viewdirs.reshape(viewdirs.shape[0], -1, 1, 3)
@@ -427,6 +432,9 @@ class Generator(nn.Module):
         """
         bs = x_in.shape[0]
 
+        # NOTE: under jit an unused pack is dead-code-eliminated, so in
+        # pallas mode (state.packed_planes is None) the quad table only
+        # materializes for code paths that really read it (normals).
         packed = (state.packed_planes if state.packed_planes is not None
                   else triplane_ops.pack_triplane(state.planes))
 
@@ -465,7 +473,8 @@ class Generator(nn.Module):
             from nerf_from_image_tpu.ops.pallas import triplane_window
             coords_n = jnp.clip(x_in / self.scene_range, -1.0, 1.0)
             feats, _resid = triplane_window.sample_triplane_windowed(
-                state.planes, state.dma_planes, packed, coords_n)
+                state.planes, state.dma_planes, state.packed_planes,
+                coords_n)
             dec = self.decoder.mlp(feats.astype(self.dtype))
         else:
             dec = decode_density(x_in)

@@ -260,7 +260,7 @@ def sample_triplane_windowed(
     planes_dma: jnp.ndarray,
     packed_planes: Optional[jnp.ndarray],
     coords: jnp.ndarray,
-    overflow_capacity_frac: float = 1 / 16,
+    overflow_capacity_frac: float = 1 / 64,
     tile: int = TILE,
     slab: int = SLAB,
     win: int = WIN,
@@ -298,11 +298,6 @@ def sample_triplane_windowed(
     flat_ov = ov_any.reshape(-1)  # (B*NB,)
     cap_b = max(int(b * nb * overflow_capacity_frac), 4)
 
-    if packed_planes is None:
-        packed_planes = triplane_ops.pack_triplane(planes)
-    rr3 = packed_planes.shape[1]
-    packed_flat = packed_planes.reshape(b * rr3, packed_planes.shape[-1])
-
     sel, = jnp.nonzero(flat_ov, size=cap_b, fill_value=0)  # block ids
     bi = (sel // nb).astype(jnp.int32)
     # Re-block the coords identically to prepare_blocks and gather the
@@ -315,18 +310,48 @@ def sample_triplane_windowed(
     uu, vv = _project_texel(pts.astype(jnp.float32), r)  # (3, cap_b*P)
     bi_pt = jnp.repeat(bi, p)
     good = 0.0
-    for p_idx in range(3):
-        fx = jnp.floor(uu[p_idx])
-        fy = jnp.floor(vv[p_idx])
-        tx = (uu[p_idx] - fx)[:, None]
-        ty = (vv[p_idx] - fy)[:, None]
-        fxi = jnp.minimum(fx.astype(jnp.int32), r - 1)
-        fyi = jnp.minimum(fy.astype(jnp.int32), r - 1)
-        row = bi_pt * rr3 + p_idx * r * r + fyi * r + fxi
-        quad = jnp.take(packed_flat, row, axis=0).reshape(cap_b * p, 4, C)
-        wts = jnp.stack(((1 - tx) * (1 - ty), tx * (1 - ty),
-                         (1 - tx) * ty, tx * ty), axis=1)
-        good = good + jnp.sum(quad * wts.astype(quad.dtype), axis=1)
+    if packed_planes is not None:
+        # Quad-table path: one 128-lane row per point per plane.
+        rr3 = packed_planes.shape[1]
+        packed_flat = packed_planes.reshape(b * rr3,
+                                            packed_planes.shape[-1])
+        for p_idx in range(3):
+            fx = jnp.floor(uu[p_idx])
+            fy = jnp.floor(vv[p_idx])
+            tx = (uu[p_idx] - fx)[:, None]
+            ty = (vv[p_idx] - fy)[:, None]
+            fxi = jnp.minimum(fx.astype(jnp.int32), r - 1)
+            fyi = jnp.minimum(fy.astype(jnp.int32), r - 1)
+            row = bi_pt * rr3 + p_idx * r * r + fyi * r + fxi
+            quad = jnp.take(packed_flat, row, axis=0).reshape(
+                cap_b * p, 4, C)
+            wts = jnp.stack(((1 - tx) * (1 - ty), tx * (1 - ty),
+                             (1 - tx) * ty, tx * ty), axis=1)
+            good = good + jnp.sum(quad * wts.astype(quad.dtype), axis=1)
+    else:
+        # Packed-table-free path (saves the (B, 3RR, 4C) table — 6.4 GB
+        # at the training operating point): 4 taps of 32 contiguous
+        # lanes each, gathered from the DMA plane layout viewed as
+        # (B*3*R*R, C) texel rows.
+        texels = planes_dma.reshape(b * 3 * r * r, C)
+        for p_idx in range(3):
+            fx = jnp.floor(uu[p_idx])
+            fy = jnp.floor(vv[p_idx])
+            tx = (uu[p_idx] - fx)[:, None]
+            ty = (vv[p_idx] - fy)[:, None]
+            x0i = fx.astype(jnp.int32)
+            y0i = fy.astype(jnp.int32)
+            base = (bi_pt * 3 + p_idx) * r * r
+            acc = 0.0
+            for dy, dx, wsel in ((0, 0, (1 - tx) * (1 - ty)),
+                                 (0, 1, tx * (1 - ty)),
+                                 (1, 0, (1 - tx) * ty),
+                                 (1, 1, tx * ty)):
+                yi = jnp.minimum(y0i + dy, r - 1)
+                xi = jnp.minimum(x0i + dx, r - 1)
+                tex = jnp.take(texels, base + yi * r + xi, axis=0)
+                acc = acc + tex * wsel.astype(tex.dtype)
+            good = good + acc
     good = (good / 3.0).reshape(cap_b, p, C)
 
     feats_flat = feats.reshape(b * nb, p, C)
