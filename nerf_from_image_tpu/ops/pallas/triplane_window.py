@@ -159,7 +159,9 @@ def _window_kernel(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (p, win), 1)
     lane_x = jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1) // C
 
-    acc = jnp.zeros((p, C), jnp.float32)
+    # Sum the x-masked row mixes over the 3 planes FIRST, then fold the
+    # channel groups with a single matmul (one fold instead of three).
+    gm_sum = jnp.zeros((p, win * C), jnp.float32)
     for pl_idx in range(3):
         pltpu.make_async_copy(win_scratch.at[slot, pl_idx],
                               win_scratch.at[slot, pl_idx],
@@ -185,12 +187,12 @@ def _window_kernel(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (p, win*C)
         m = ((lane_x == fxi) * (1.0 - tx) + (lane_x == fxi + 1) * tx)
-        gm = (g * m).astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
-            gm, fold_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        gm_sum = gm_sum + g * m
 
+    acc = jax.lax.dot_general(
+        gm_sum.astype(jnp.bfloat16), fold_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     out_ref[0] = (acc / 3.0).astype(out_ref.dtype)
 
 
