@@ -285,6 +285,7 @@ class Generator(nn.Module):
     # Windowed Pallas triplane sampler for structured (B, H, W, S, 3)
     # point grids (inference path; the VJP for training stays XLA).
     use_pallas: bool = False
+    fuse_decode: bool = False  # in-kernel decoder tail (slower on v5e)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -469,13 +470,45 @@ class Generator(nn.Module):
             x_in.shape[1] % 8 == 0 and x_in.shape[2] % 8 == 0 and
             x_in.shape[3] % 4 == 0 and
             state.plane_resolution >= 64)  # window must fit the plane
+        fused_rgb = None
         if use_windowed:
             from nerf_from_image_tpu.ops.pallas import triplane_window
             coords_n = jnp.clip(x_in / self.scene_range, -1.0, 1.0)
-            feats, _resid = triplane_window.sample_triplane_windowed(
-                state.planes, state.dma_planes, state.packed_planes,
-                coords_n)
-            dec = self.decoder.mlp(feats.astype(self.dtype))
+            # Fully-fused variant: decoder MLP + attention softmax +
+            # palette matmul run inside the kernel when only sigma/rgb
+            # are needed (saves the feature HBM round-trip and two
+            # bandwidth-bound XLA stages).
+            # Measured on v5e: in-kernel decode fusion LOSES ~10%
+            # (three extra ~0.5us small matmuls per block outweigh the
+            # ~30ms of XLA stages saved) — keep it available but off.
+            fuse_decode = (self.fuse_decode and
+                           self.attention_values > 0 and
+                           not self.use_viewdir and
+                           state.attention_values is not None and
+                           set(requests) <= {'sigma', 'rgb',
+                                             'sdf_distance'})
+            if fuse_decode:
+                dp = self.variables['params']['decoder']
+                w0 = (dp['fc0']['weight'] *
+                      (1.0 / math.sqrt(dp['fc0']['weight'].shape[1]))).T
+                w1 = (dp['fc1']['weight'] *
+                      (1.0 / math.sqrt(dp['fc1']['weight'].shape[1]))).T
+                decode = {
+                    'w0': w0, 'b0': dp['fc0']['bias'],
+                    'w1': w1, 'b1': dp['fc1']['bias'],
+                    'palette': state.attention_values,
+                }
+                out4, _resid = triplane_window.sample_triplane_windowed(
+                    state.planes, state.dma_planes, state.packed_planes,
+                    coords_n, decode=decode)
+                dec = {'density_or_distance': out4[..., :1].astype(
+                    self.dtype), 'features': None}
+                fused_rgb = out4[..., 1:].astype(self.dtype)
+            else:
+                feats, _resid = triplane_window.sample_triplane_windowed(
+                    state.planes, state.dma_planes, state.packed_planes,
+                    coords_n)
+                dec = self.decoder.mlp(feats.astype(self.dtype))
         else:
             dec = decode_density(x_in)
         density_or_distance = dec['density_or_distance']
@@ -489,6 +522,11 @@ class Generator(nn.Module):
 
         if 'coords' in requests:
             outputs['coords'] = x_in.reshape(bs, -1, 3)
+
+        if fused_rgb is not None:
+            if 'rgb' in requests:
+                outputs['rgb'] = fused_rgb
+            return outputs
 
         if 'rgb' in requests or 'semantics' in requests:
             if self.use_viewdir and state.viewdir_embedding is not None:

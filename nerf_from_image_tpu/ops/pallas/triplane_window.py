@@ -136,9 +136,45 @@ def _start_window_dmas(planes_ref, org_ref, bi, win_scratch, sems, slot,
     return copies
 
 
-def _window_kernel(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
-                   fold_ref, out_ref, win_scratch, sems, *, win: int,
-                   p: int, nb: int, num_blocks: int):
+def _decode_tail(acc, w0_ref, b0_ref, w1_ref, b1_ref, pal_ref):
+    """Fused decoder tail: 2-layer softplus MLP + attention softmax +
+    palette matmul (models/generator.py TriplanarDecoder.mlp + the
+    attention-values color mapping). acc: (P, C) f32 features.
+    Returns (P, 4) f32: [sdf_distance | rgb]."""
+    h = jax.lax.dot_general(
+        acc.astype(jnp.bfloat16), w0_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b0_ref[:]
+    h = jax.nn.softplus(h)
+    d = jax.lax.dot_general(
+        h.astype(jnp.bfloat16), w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[:]
+    dist = d[:, :1]
+    logits = d[:, 1:]
+    probs = jax.nn.softmax(logits, axis=-1)
+    rgb = jax.lax.dot_general(
+        probs.astype(jnp.bfloat16), pal_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.concatenate((dist, rgb), axis=-1)
+
+
+def _window_kernel_fused(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
+                         fold_ref, w0_ref, b0_ref, w1_ref, b1_ref, pal_ref,
+                         out_ref, win_scratch, sems, *, win: int, p: int,
+                         nb: int, num_blocks: int):
+    """Windowed bilinear + fused decoder tail; out (P, 4)."""
+    acc = _window_body(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
+                       fold_ref, win_scratch, sems, win=win, p=p, nb=nb,
+                       num_blocks=num_blocks)
+    out_ref[0] = _decode_tail(acc, w0_ref, b0_ref, w1_ref, b1_ref,
+                              pal_ref).astype(out_ref.dtype)
+
+
+def _window_body(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
+                 fold_ref, win_scratch, sems, *, win: int, p: int, nb: int,
+                 num_blocks: int):
     """One flat block step, double-buffered: block i+1's windows prefetch
     while block i computes (DMA latency was the dominant cost when issued
     and awaited in the same step)."""
@@ -193,13 +229,30 @@ def _window_kernel(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
         gm_sum.astype(jnp.bfloat16), fold_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    out_ref[0] = (acc / 3.0).astype(out_ref.dtype)
+    return acc / 3.0
+
+
+def _window_kernel(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
+                   fold_ref, out_ref, win_scratch, sems, *, win: int,
+                   p: int, nb: int, num_blocks: int):
+    """Windowed bilinear, raw (P, C) feature output."""
+    acc = _window_body(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
+                       fold_ref, win_scratch, sems, win=win, p=p, nb=nb,
+                       num_blocks=num_blocks)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
-                        win: int = WIN, interpret=None):
+                        win: int = WIN, interpret=None, decode=None):
     """Runs the kernel. planes_dma: (B, 3, R, R*C) bf16;
-    u/v: (B, NB, 3, P); origins: (B, NB, 3, 2). Returns (B, NB, P, C).
+    u/v: (B, NB, 3, P); origins: (B, NB, 3, 2).
+
+    Without `decode`: returns raw gathered features (B, NB, P, C).
+    With `decode` = dict(w0 (C, H), b0 (H,), w1 (H, 1+K), b1 (1+K,),
+    palette (B, K, 3)): the decoder MLP + attention softmax + palette
+    matmul run inside the kernel and the output is (B, NB, P, 4) =
+    [sdf_distance | rgb] (saves the feature HBM round-trip + two
+    bandwidth-bound XLA stages).
 
     interpret=None auto-selects the Pallas interpreter on non-TPU
     backends (so the same code path runs in CPU tests)."""
@@ -210,8 +263,30 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
     num_blocks = b * nb
     fold = jnp.asarray(_fold_matrix(win), jnp.bfloat16)
 
-    kernel = functools.partial(_window_kernel, win=win, p=p, nb=nb,
-                               num_blocks=num_blocks)
+    if decode is None:
+        kernel = functools.partial(_window_kernel, win=win, p=p, nb=nb,
+                                   num_blocks=num_blocks)
+        out_ch = C
+        extra_inputs = ()
+        extra_specs = ()
+    else:
+        kernel = functools.partial(_window_kernel_fused, win=win, p=p,
+                                   nb=nb, num_blocks=num_blocks)
+        out_ch = 4
+        extra_inputs = (decode['w0'].astype(jnp.bfloat16),
+                        decode['b0'].astype(jnp.float32),
+                        decode['w1'].astype(jnp.bfloat16),
+                        decode['b1'].astype(jnp.float32),
+                        decode['palette'].astype(jnp.bfloat16))
+        extra_specs = (
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + decode['palette'].shape[1:],
+                         lambda i: (i // nb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
     org_flat = origins.reshape(num_blocks, 3, 2)
     # Next-block origins, per-step SMEM slice (lets the kernel prefetch
     # block i+1's windows without holding the whole origin table in SMEM).
@@ -230,10 +305,12 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # planes stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fold matrix
+            *extra_specs,
         ],
-        out_specs=pl.BlockSpec((1, p, C), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, p, out_ch), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_blocks, p, C), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((num_blocks, p, out_ch),
+                                       jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((2, 3, win, win * C), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -244,8 +321,8 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
     )(org_flat, org_next,
       u.astype(jnp.float32).reshape(num_blocks, 3, p),
       v.astype(jnp.float32).reshape(num_blocks, 3, p),
-      planes_dma, fold)
-    return out.reshape(b, nb, p, C)
+      planes_dma, fold, *extra_inputs)
+    return out.reshape(b, nb, p, out_ch)
 
 
 def _unblock(x: jnp.ndarray, b, h, w, s, tile, slab):
@@ -267,6 +344,7 @@ def sample_triplane_windowed(
     slab: int = SLAB,
     win: int = WIN,
     interpret=None,
+    decode=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full windowed sampler with exact overflow correction.
 
@@ -289,7 +367,8 @@ def sample_triplane_windowed(
     n = h * w * s
     u, v, origins, overflow = prepare_blocks(coords, r, tile, slab, win)
     feats = sample_windowed_raw(planes_dma, u, v, origins, win,
-                                interpret=interpret)  # (B, NB, P, C)
+                                interpret=interpret,
+                                decode=decode)  # (B, NB, P, C or 4)
 
     # Exact fix-up of overflowed points through the XLA quad-table path,
     # selected at BLOCK granularity: nonzero over the (B*NB) block flags
@@ -356,11 +435,24 @@ def sample_triplane_windowed(
             good = good + acc
     good = (good / 3.0).reshape(cap_b, p, C)
 
-    feats_flat = feats.reshape(b * nb, p, C)
+    if decode is not None:
+        # Apply the same fused decoder tail in XLA for the corrected
+        # blocks (cap is small).
+        hid = jax.nn.softplus(
+            good.astype(jnp.float32) @ decode['w0'].astype(jnp.float32) +
+            decode['b0'])
+        d = hid @ decode['w1'].astype(jnp.float32) + decode['b1']
+        probs = jax.nn.softmax(d[..., 1:], axis=-1)
+        pal_sel = decode['palette'].astype(jnp.float32)[bi]  # (cap_b, K, 3)
+        rgb = jnp.einsum('bpk,bkc->bpc', probs, pal_sel)
+        good = jnp.concatenate((d[..., :1], rgb), axis=-1)
+
+    out_ch = feats.shape[-1]
+    feats_flat = feats.reshape(b * nb, p, out_ch)
     valid = flat_ov[sel]
     cur = feats_flat[sel]
     new = jnp.where(valid[:, None, None], good.astype(feats.dtype), cur)
-    feats = feats_flat.at[sel].set(new).reshape(b, nb, p, C)
+    feats = feats_flat.at[sel].set(new).reshape(b, nb, p, out_ch)
 
     feats = _unblock(feats, b, h, w, s, tile, slab)
     resid = jnp.maximum(jnp.sum(flat_ov.astype(jnp.int32)) - cap_b, 0)
