@@ -42,12 +42,15 @@ def _conv2d(x, w, stride=1, padding=0):
     """torch.F.conv2d semantics; x (B,C,H,W), w (O,I,kh,kw)."""
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
                                         ('NCHW', 'OIHW', 'NCHW'))
+    # No preferred_element_type here: with bf16 operands the conv VJP in
+    # this jax version rejects the f32 cotangent ("requires arguments to
+    # have the same dtypes"); XLA accumulates bf16 convs in f32 on the
+    # MXU regardless, so numerics are unchanged.
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride),
         [(padding, padding), (padding, padding)],
         dimension_numbers=dn,
-        precision=_prec(x),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        precision=_prec(x))
 
 
 def _conv_transpose2d(x, w, stride=1, padding=0):
@@ -63,8 +66,7 @@ def _conv_transpose2d(x, w, stride=1, padding=0):
         x, w_t.astype(x.dtype), (1, 1), [(pad, pad), (pad, pad)],
         lhs_dilation=(stride, stride),
         dimension_numbers=dn,
-        precision=_prec(x),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        precision=_prec(x))
 
 
 def filter2d(im, kernel=None, gain=1.0, transpose=False):

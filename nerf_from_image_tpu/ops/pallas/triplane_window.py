@@ -136,6 +136,75 @@ def _start_window_dmas(planes_ref, org_ref, bi, win_scratch, sems, slot,
     return copies
 
 
+def _resident_kernel(org_smem, u_ref, v_ref, planes_ref, fold_ref, out_ref,
+                     planes_vmem, sems, *, win: int, p: int, nb: int,
+                     num_images: int, r: int):
+    """Plane-resident variant: each image's full triplanes (3, R, R*C bf16,
+    ~12.6 MB at R=256) are DMA'd into a double-buffered VMEM scratch once
+    per image (amortized over its NB blocks, with the next image
+    prefetched), and every block's window is a dynamic VMEM slice — no
+    per-block DMA at all. Measured VMEM on the target chip is >=96 MB, so
+    2 x 12.6 MB + temps fit comfortably."""
+    i = pl.program_id(0)
+    img = i // nb
+    slot = jax.lax.rem(img, 2)
+
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(planes_ref.at[0], planes_vmem.at[0],
+                              sems.at[0]).start()
+
+    @pl.when(jax.lax.rem(i, nb) == 0)
+    def _():
+        nxt = img + 1
+
+        @pl.when(nxt < num_images)
+        def _():
+            pltpu.make_async_copy(planes_ref.at[nxt],
+                                  planes_vmem.at[jax.lax.rem(nxt, 2)],
+                                  sems.at[jax.lax.rem(nxt, 2)]).start()
+
+        pltpu.make_async_copy(planes_vmem.at[slot], planes_vmem.at[slot],
+                              sems.at[slot]).wait()
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (p, win), 1)
+    lane_x = jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1) // C
+
+    gm_sum = jnp.zeros((p, win * C), jnp.float32)
+    for pl_idx in range(3):
+        y0 = pl.multiple_of(org_smem[0, pl_idx, 0], 8)
+        x0c = pl.multiple_of(org_smem[0, pl_idx, 1] * C, 128)
+        window = planes_vmem[slot, pl_idx, pl.ds(y0, win),
+                             pl.ds(x0c, win * C)]
+        vv = v_ref[0, pl_idx, :] - org_smem[0, pl_idx, 0].astype(
+            jnp.float32)
+        uu = u_ref[0, pl_idx, :] - org_smem[0, pl_idx, 1].astype(
+            jnp.float32)
+        vv = jnp.clip(vv, 0.0, win - 2.0)
+        uu = jnp.clip(uu, 0.0, win - 2.0)
+        fy = jnp.floor(vv)
+        ty = (vv - fy)[:, None]
+        fx = jnp.floor(uu)
+        tx = (uu - fx)[:, None]
+        fyi = fy.astype(jnp.int32)[:, None]
+        fxi = fx.astype(jnp.int32)[:, None]
+
+        oh_y = ((rows_i == fyi) * (1.0 - ty) +
+                (rows_i == fyi + 1) * ty).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            oh_y, window,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = ((lane_x == fxi) * (1.0 - tx) + (lane_x == fxi + 1) * tx)
+        gm_sum = gm_sum + g * m
+
+    acc = jax.lax.dot_general(
+        gm_sum.astype(jnp.bfloat16), fold_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0] = (acc / 3.0).astype(out_ref.dtype)
+
+
 def _decode_tail(acc, w0_ref, b0_ref, w1_ref, b1_ref, pal_ref):
     """Fused decoder tail: 2-layer softplus MLP + attention softmax +
     palette matmul (models/generator.py TriplanarDecoder.mlp + the
@@ -262,6 +331,43 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
     nb, p = u.shape[1], u.shape[3]
     num_blocks = b * nb
     fold = jnp.asarray(_fold_matrix(win), jnp.bfloat16)
+
+    # Plane-resident variant when a double-buffered pair of full plane
+    # sets fits VMEM (measured >=96 MB on the target chip).
+    plane_bytes = 3 * r * r * C * 2
+    if decode is None and 2 * plane_bytes <= 48 * 1024 * 1024:
+        kernel = functools.partial(_resident_kernel, win=win, p=p, nb=nb,
+                                   num_images=b, r=r)
+        org_flat = origins.reshape(num_blocks, 3, 2)
+        out = pl.pallas_call(
+            kernel,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 3, 2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3, p), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, p), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # planes in HBM
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # fold matrix
+            ],
+            out_specs=pl.BlockSpec((1, p, C), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((num_blocks, p, C),
+                                           jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((2, 3, r, r * C), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(org_flat,
+          u.astype(jnp.float32).reshape(num_blocks, 3, p),
+          v.astype(jnp.float32).reshape(num_blocks, 3, p),
+          planes_dma, fold)
+        return out.reshape(b, nb, p, C)
 
     if decode is None:
         kernel = functools.partial(_window_kernel, win=win, p=p, nb=nb,
