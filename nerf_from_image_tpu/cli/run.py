@@ -105,7 +105,8 @@ def main(argv=None):
         augment_ada=args.augment_ada, augment_p_max=args.augment_p,
         ada_target=args.ada_target,
         clip_gradient_norm=args.clip_gradient_norm,
-        lr_g=args.lr_g, lr_d=args.lr_d, batch_size=args.batch_size)
+        lr_g=args.lr_g, lr_d=args.lr_d, batch_size=args.batch_size,
+        use_pallas=bool(args.use_pallas))
 
     ckpt = ckpt_lib.CheckpointManager(checkpoint_dir)
     state = jax.jit(lambda k: gan_lib.init_train_state(

@@ -205,6 +205,174 @@ def _resident_kernel(org_smem, u_ref, v_ref, planes_ref, fold_ref, out_ref,
     out_ref[0] = (acc / 3.0).astype(out_ref.dtype)
 
 
+def _resident_grad_kernel(org_smem, u_ref, v_ref, dout_ref, planes_ref,
+                          foldt_ref, dplanes_ref, duv_ref, planes_vmem,
+                          dgrad_vmem, sems, flush_sem, *, win: int, p: int,
+                          nb: int, num_images: int, r: int):
+    """Backward of the resident windowed sampler.
+
+    Per block: recomputes the selection weights from (u, v), forms
+    d_window = oh_y^T @ (dGM * m) (K = P — full MXU efficiency), and
+    accumulates it into a per-image f32 VMEM gradient buffer at the
+    window's dynamic offset; the buffer flushes to HBM once per image.
+    Also emits per-point du/dv for camera/pose gradients:
+      dv = sum_j ((doh/dv @ win) * m * dGM)_j,
+      du = sum_j ((oh @ win) * dm/du * dGM)_j.
+    """
+    i = pl.program_id(0)
+    img = i // nb
+    slot = jax.lax.rem(img, 2)
+
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(planes_ref.at[0], planes_vmem.at[0],
+                              sems.at[0]).start()
+
+    @pl.when(jax.lax.rem(i, nb) == 0)
+    def _():
+        nxt = img + 1
+
+        @pl.when(nxt < num_images)
+        def _():
+            pltpu.make_async_copy(planes_ref.at[nxt],
+                                  planes_vmem.at[jax.lax.rem(nxt, 2)],
+                                  sems.at[jax.lax.rem(nxt, 2)]).start()
+
+        pltpu.make_async_copy(planes_vmem.at[slot], planes_vmem.at[slot],
+                              sems.at[slot]).wait()
+        # Fresh image: zero the gradient accumulator.
+        dgrad_vmem[...] = jnp.zeros_like(dgrad_vmem)
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (p, win), 1)
+    lane_x = jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1) // C
+
+    dacc = dout_ref[0].astype(jnp.float32) / 3.0  # (P, C)
+    # dGM = dacc @ fold^T — broadcasts each channel grad across the
+    # window's x groups.
+    dgm = jax.lax.dot_general(
+        dacc.astype(jnp.bfloat16), foldt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (P, win*C)
+
+    for pl_idx in range(3):
+        y0 = pl.multiple_of(org_smem[0, pl_idx, 0], 8)
+        x0c = pl.multiple_of(org_smem[0, pl_idx, 1] * C, 128)
+        window = planes_vmem[slot, pl_idx, pl.ds(y0, win),
+                             pl.ds(x0c, win * C)]
+        vv_raw = v_ref[0, pl_idx, :] - org_smem[0, pl_idx, 0].astype(
+            jnp.float32)
+        uu_raw = u_ref[0, pl_idx, :] - org_smem[0, pl_idx, 1].astype(
+            jnp.float32)
+        vv = jnp.clip(vv_raw, 0.0, win - 2.0)
+        uu = jnp.clip(uu_raw, 0.0, win - 2.0)
+        v_act = ((vv_raw > 0.0) & (vv_raw < win - 2.0)).astype(jnp.float32)
+        u_act = ((uu_raw > 0.0) & (uu_raw < win - 2.0)).astype(jnp.float32)
+        fy = jnp.floor(vv)
+        ty = (vv - fy)[:, None]
+        fx = jnp.floor(uu)
+        tx = (uu - fx)[:, None]
+        fyi = fy.astype(jnp.int32)[:, None]
+        fxi = fx.astype(jnp.int32)[:, None]
+
+        is_y0 = rows_i == fyi
+        is_y1 = rows_i == fyi + 1
+        is_x0 = lane_x == fxi
+        is_x1 = lane_x == fxi + 1
+        oh_y = (is_y0 * (1.0 - ty) + is_y1 * ty).astype(jnp.bfloat16)
+        m = is_x0 * (1.0 - tx) + is_x1 * tx
+
+        dg = dgm * m  # (P, win*C)
+        d_win = jax.lax.dot_general(
+            oh_y, dg.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (win, win*C)
+        cur = dgrad_vmem[pl_idx, pl.ds(y0, win), pl.ds(x0c, win * C)]
+        dgrad_vmem[pl_idx, pl.ds(y0, win), pl.ds(x0c, win * C)] = (
+            cur + d_win)
+
+        # Coordinate gradients.
+        g = jax.lax.dot_general(
+            oh_y, window,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        doh = (is_y1.astype(jnp.float32) -
+               is_y0.astype(jnp.float32)).astype(jnp.bfloat16)
+        gv = jax.lax.dot_general(
+            doh, window,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv = jnp.sum(gv * m * dgm, axis=-1) * v_act
+        dm = is_x1.astype(jnp.float32) - is_x0.astype(jnp.float32)
+        du = jnp.sum(g * dm * dgm, axis=-1) * u_act
+        duv_ref[0, 0, pl_idx, :] = du.astype(duv_ref.dtype)
+        duv_ref[0, 1, pl_idx, :] = dv.astype(duv_ref.dtype)
+
+    # Flush the image's gradient at its last block.
+    @pl.when(jax.lax.rem(i, nb) == nb - 1)
+    def _():
+        copy = pltpu.make_async_copy(dgrad_vmem, dplanes_ref.at[img],
+                                     flush_sem)
+        copy.start()
+        copy.wait()
+
+
+def windowed_grad(planes_dma, u, v, origins, dout, win: int = WIN,
+                  interpret=None):
+    """Runs the backward kernel. Returns (dplanes_dma f32 (B,3,R,R*C),
+    du (B,NB,3,P) f32, dv (B,NB,3,P) f32)."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, _, r, _ = planes_dma.shape
+    nb, p = u.shape[1], u.shape[3]
+    num_blocks = b * nb
+    foldt = jnp.asarray(_fold_matrix(win).T, jnp.bfloat16)  # (C, win*C)
+    org_flat = origins.reshape(num_blocks, 3, 2)
+
+    kernel = functools.partial(_resident_grad_kernel, win=win, p=p, nb=nb,
+                               num_images=b, r=r)
+    dplanes, duv = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 3, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dplanes (HBM, flushed)
+            pl.BlockSpec((1, 2, 3, p), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 3, r, r * C), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks, 2, 3, p), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, r, r * C), jnp.bfloat16),
+            pltpu.VMEM((3, r, r * C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            has_side_effects=True),
+        interpret=interpret,
+    )(org_flat,
+      u.astype(jnp.float32).reshape(num_blocks, 3, p),
+      v.astype(jnp.float32).reshape(num_blocks, 3, p),
+      dout.reshape(num_blocks, p, C), planes_dma, foldt)
+    du = duv[:, 0].reshape(b, nb, 3, p)
+    dv = duv[:, 1].reshape(b, nb, 3, p)
+    return dplanes, du, dv
+
+
 def _decode_tail(acc, w0_ref, b0_ref, w1_ref, b1_ref, pal_ref):
     """Fused decoder tail: 2-layer softplus MLP + attention softmax +
     palette matmul (models/generator.py TriplanarDecoder.mlp + the
@@ -431,6 +599,29 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
     return out.reshape(b, nb, p, out_ch)
 
 
+@jax.custom_vjp
+def windowed_core(planes_dma, u, v, origins):
+    """Differentiable windowed sampler core (kernel forward + backward
+    kernel as its VJP). origins are integral (non-differentiable)."""
+    return sample_windowed_raw(planes_dma, u, v, origins)
+
+
+def _windowed_core_fwd(planes_dma, u, v, origins):
+    out = sample_windowed_raw(planes_dma, u, v, origins)
+    return out, (planes_dma, u, v, origins)
+
+
+def _windowed_core_bwd(res, dout):
+    planes_dma, u, v, origins = res
+    dplanes, du, dv = windowed_grad(planes_dma, u, v, origins, dout)
+    zero_org = np.zeros(origins.shape, dtype=jax.dtypes.float0)
+    return (dplanes.astype(planes_dma.dtype), du.astype(u.dtype),
+            dv.astype(v.dtype), zero_org)
+
+
+windowed_core.defvjp(_windowed_core_fwd, _windowed_core_bwd)
+
+
 def _unblock(x: jnp.ndarray, b, h, w, s, tile, slab):
     """(B, NB, P, C) -> (B, H*W*S, C) in renderer point order."""
     ht, wt, ks = h // tile, w // tile, s // slab
@@ -472,9 +663,16 @@ def sample_triplane_windowed(
     r = planes_dma.shape[2]
     n = h * w * s
     u, v, origins, overflow = prepare_blocks(coords, r, tile, slab, win)
-    feats = sample_windowed_raw(planes_dma, u, v, origins, win,
-                                interpret=interpret,
-                                decode=decode)  # (B, NB, P, C or 4)
+    plane_bytes = 3 * r * r * C * 2
+    if decode is None and win == WIN and \
+            2 * plane_bytes <= 48 * 1024 * 1024:
+        # Differentiable core (resident kernel fwd + grad kernel VJP):
+        # gradients flow to the planes and to the point coordinates.
+        feats = windowed_core(planes_dma, u, v, origins)
+    else:
+        feats = sample_windowed_raw(planes_dma, u, v, origins, win,
+                                    interpret=interpret,
+                                    decode=decode)  # (B, NB, P, C or 4)
 
     # Exact fix-up of overflowed points through the XLA quad-table path,
     # selected at BLOCK granularity: nonzero over the (B*NB) block flags

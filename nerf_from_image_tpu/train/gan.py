@@ -126,6 +126,7 @@ class GANConfig:
     lr_g: float = 0.0025
     lr_d: float = 0.002
     batch_size: int = 32
+    use_pallas: bool = True  # windowed triplane sampler in train steps
     plane_resolution: int = 256  # StyleGAN synthesis output resolution
     ema_halflife_kimg: float = 10.0  # alpha = 0.5 ** (32 / 10000)
 
@@ -136,6 +137,7 @@ def make_models(cfg: GANConfig, dtype=jnp.float32):
                     use_viewdir=cfg.use_viewdir, use_sdf=cfg.use_sdf,
                     use_encoder=cfg.use_encoder,
                     num_classes=cfg.num_classes if cfg.use_class else None,
+                    use_pallas=cfg.use_pallas,
                     img_resolution=cfg.plane_resolution, dtype=dtype)
     disc = Discriminator(resolution=cfg.resolution,
                          nc=4 if cfg.supervise_alpha else 3,

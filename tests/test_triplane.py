@@ -3,6 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerf_from_image_tpu.ops import triplane
+from nerf_from_image_tpu.ops import triplane as tri
 
 
 def test_packed_matches_reference_in_range():
@@ -86,3 +87,46 @@ def test_generator_pallas_path_matches_xla():
                                atol=3e-2)
     np.testing.assert_allclose(np.asarray(mask_p), np.asarray(mask_x),
                                atol=3e-2)
+
+
+def test_windowed_gradients_match_xla():
+    """custom_vjp (grad kernel) parity: d/d(planes) and d/d(coords)
+    through the windowed sampler vs the XLA quad-table path."""
+    import jax
+    from nerf_from_image_tpu.ops.pallas import triplane_window as tw
+
+    k = jax.random.PRNGKey(0)
+    B, R = 1, 64
+    H = W = 8
+    S = 4
+    planes = jax.random.normal(k, (B, 3, 32, R, R), jnp.float32)
+    base = jax.random.uniform(jax.random.PRNGKey(1),
+                              (B, 1, 1, 1, 1, 1, 1, 3),
+                              minval=-0.5, maxval=0.5)
+    jit_ = jax.random.uniform(jax.random.PRNGKey(2),
+                              (B, 1, 8, 1, 8, 1, 4, 3),
+                              minval=-0.04, maxval=0.04)
+    coords = jnp.clip(base + jit_, -1, 1).reshape(B, H, W, S, 3)
+    wvec = jax.random.normal(jax.random.PRNGKey(5), (B, H * W * S, 32))
+
+    def loss_pallas(planes, coords):
+        pdma = tw.plane_layout_for_dma(planes)
+        feats, _ = tw.sample_triplane_windowed(planes, pdma, None, coords)
+        return jnp.sum(feats.astype(jnp.float32) * wvec)
+
+    def loss_xla(planes, coords):
+        packed = tri.pack_triplane(planes.astype(jnp.bfloat16))
+        feats = tri.sample_packed_triplane(packed,
+                                           coords.reshape(B, -1, 3), R)
+        return jnp.sum(feats.astype(jnp.float32) * wvec)
+
+    gp_p, gc_p = jax.grad(loss_pallas, argnums=(0, 1))(planes, coords)
+    gp_x, gc_x = jax.grad(loss_xla, argnums=(0, 1))(planes, coords)
+
+    def rel(a, b):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        return np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+
+    assert rel(gp_p, gp_x) < 0.05  # bf16 tap-weight rounding scale
+    assert rel(gc_p, gc_x) < 0.05
