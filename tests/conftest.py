@@ -10,8 +10,13 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ.pop('PALLAS_AXON_POOL_IPS', None)
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
+if 'xla_cpu_collective_call_terminate_timeout_seconds' not in flags:
+    # 8 virtual devices may serialize on a single host core; the default
+    # 40s collective-rendezvous deadline aborts the process under skew.
+    flags += (' --xla_cpu_collective_call_terminate_timeout_seconds=1200'
+              ' --xla_cpu_collective_timeout_seconds=1200')
+os.environ['XLA_FLAGS'] = flags
 
 import pathlib  # noqa: E402
 import sys  # noqa: E402
