@@ -473,7 +473,10 @@ class Generator(nn.Module):
         fused_rgb = None
         if use_windowed:
             from nerf_from_image_tpu.ops.pallas import triplane_window
-            coords_n = jnp.clip(x_in / self.scene_range, -1.0, 1.0)
+            # Deliberately UNclipped: prepare_blocks detects out-of-box
+            # points (zero density downstream) and ignores them for
+            # window placement; texel projection border-clamps anyway.
+            coords_n = x_in / self.scene_range
             # Fully-fused variant: decoder MLP + attention softmax +
             # palette matmul run inside the kernel when only sigma/rgb
             # are needed (saves the feature HBM round-trip and two

@@ -45,7 +45,14 @@ from nerf_from_image_tpu.ops import triplane as triplane_ops
 # Default block geometry: 8x8 rays x 4 depth samples -> P = 256 points.
 TILE = 8
 SLAB = 4
-WIN = 48  # window rows/cols; multiple of 16 (bf16 sublane tile)
+WIN = 48  # window COLS (x texels); WIN*C lanes is the matmul N dim
+# Window ROWS. The row-selection one-hot matmul contracts over K = WIN_Y,
+# which the MXU pads to 128 regardless — so a tall window is FREE on the
+# MXU up to 128 rows. Depth motion lands on the row axis for two of the
+# three planes, so tall windows absorb nearly all depth-slab footprint
+# (at WIN_Y == WIN ~50% of blocks overflowed the window at the flagship
+# 128^2/f=1.2 operating point; at 112 almost none do).
+WIN_Y = 112
 C = 32  # triplane channels
 
 
@@ -70,15 +77,19 @@ def _project_texel(coords: jnp.ndarray, r: int):
 
 
 def prepare_blocks(coords: jnp.ndarray, r: int,
-                   tile: int = TILE, slab: int = SLAB, win: int = WIN):
+                   tile: int = TILE, slab: int = SLAB, win: int = WIN,
+                   win_y: int = WIN_Y):
     """Blocks (B, H, W, S, 3) normalized coords for the kernel.
 
     Returns (u, v, origins, overflow):
       u, v: (B, NB, 3, P) f32 texel coords (plane-projected, clamped)
       origins: (B, NB, 3, 2) int32 (y0, x0) window origins (y0 % 8 == 0,
-        x0 % 4 == 0, both clipped to [0, r - win])
-      overflow: (B, NB, 3, P) bool — points outside their window
+        x0 % 4 == 0, clipped to [0, r - win_y] / [0, r - win])
+      overflow: (B, NB) bool — block contains a point whose 2x2 bilinear
+        support exceeds its window (computed by reduction; the per-point
+        flags are never materialized)
     """
+    win_y = min(win_y, r)  # window cannot exceed the plane
     b, h, w, s, _ = coords.shape
     ht, wt, ks = h // tile, w // tile, s // slab
     nb = ht * wt * ks
@@ -87,23 +98,50 @@ def prepare_blocks(coords: jnp.ndarray, r: int,
     cb = coords.reshape(b, ht, tile, wt, tile, ks, slab, 3)
     cb = cb.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b, nb, p, 3)
 
-    u, v = _project_texel(cb.astype(jnp.float32), r)  # (3, B, nb, p)
+    cb32 = cb.astype(jnp.float32)
+    u, v = _project_texel(cb32, r)  # (3, B, nb, p)
     u = u.transpose(1, 2, 0, 3)  # (B, nb, 3, p)
     v = v.transpose(1, 2, 0, 3)
 
-    def origin(minval, align):
+    # Out-of-box points get ZERO density downstream (both here and in the
+    # reference, models/generator.py:606-640: sigma *= (1 - oob)), so
+    # their gathered features never matter. Exclude them from the window
+    # placement and the overflow accounting: rays that miss the AABB
+    # inherit the batch-global near/far (core/rays.py:141-146) and march
+    # border-clamped across the whole plane, which would otherwise force
+    # window overflow on ~a third of all blocks.
+    valid = jnp.all(jnp.abs(cb32) <= 1.0, axis=-1)[:, :, None, :]
+    any_valid = jnp.any(valid, axis=-1)  # (B, nb, 1) -> broadcast over 3
+    vmin = jnp.min(jnp.where(valid, v, jnp.inf), axis=-1)
+    umin = jnp.min(jnp.where(valid, u, jnp.inf), axis=-1)
+    vmax = jnp.max(jnp.where(valid, v, -jnp.inf), axis=-1)
+    umax = jnp.max(jnp.where(valid, u, -jnp.inf), axis=-1)
+    vmin = jnp.where(any_valid, vmin, 0.0)
+    umin = jnp.where(any_valid, umin, 0.0)
+    vmax = jnp.where(any_valid, vmax, 0.0)
+    umax = jnp.where(any_valid, umax, 0.0)
+
+    def origin(minval, align, w_ext):
         o = jnp.floor(minval).astype(jnp.int32)
         o = o - (o % align)
-        return jnp.clip(o, 0, r - win)
+        return jnp.clip(o, 0, r - w_ext)
 
-    y0 = origin(jnp.min(v, axis=-1), 8)  # (B, nb, 3)
-    x0 = origin(jnp.min(u, axis=-1), 4)
+    y0 = origin(vmin, 8, win_y)  # (B, nb, 3)
+    x0 = origin(umin, 4, win)
     origins = jnp.stack((y0, x0), axis=-1)
 
-    # A point is in-window iff its 2x2 bilinear support fits.
-    vr = v - y0[..., None].astype(v.dtype)
-    ur = u - x0[..., None].astype(u.dtype)
-    overflow = ((vr < 0) | (vr > win - 2) | (ur < 0) | (ur > win - 2))
+    # Origins are floor-aligned below the block minimum, so only the max
+    # side can overflow. The test is TAP-aware: the second bilinear tap
+    # clamps to the plane border (floor(v)+1 capped at r-1), so a window
+    # whose last row IS the plane's last row handles border points
+    # exactly — without this, every block touching row/col r-1 would be
+    # falsely flagged (~28% of blocks: each hitting ray's first/last
+    # sample lies ON an AABB face).
+    vtap = jnp.minimum(jnp.floor(vmax) + 1.0, r - 1.0)
+    utap = jnp.minimum(jnp.floor(umax) + 1.0, r - 1.0)
+    ov = ((vtap > y0.astype(v.dtype) + (win_y - 1)) |
+          (utap > x0.astype(u.dtype) + (win - 1)))
+    overflow = jnp.any(ov, axis=-1)  # (B, NB)
     return u, v, origins, overflow
 
 
@@ -115,8 +153,51 @@ def _fold_matrix(win: int) -> np.ndarray:
     return f
 
 
+def _fold128_matrix() -> np.ndarray:
+    """(128, C) constant folding one 128-lane tile's 4 x-groups."""
+    j = np.arange(128)
+    f = np.zeros((128, C), np.float32)
+    f[j, j % C] = 1.0
+    return f
+
+
+def _fold_gm(gm_sum: jnp.ndarray, fold128, win: int, p: int) -> jnp.ndarray:
+    """(P, win*C) f32 -> (P, C): sum the win//4 128-lane tiles on the VPU
+    (static lane slices), then fold the 4 x-groups inside a tile with one
+    tiny (P, 128) @ (128, C) matmul. Replaces the (P, win*C) @ (win*C, C)
+    fold whose N=32 wasted 3/4 of the MXU lanes."""
+    ntiles = (win * C) // 128
+    s = gm_sum[:, 0:128]
+    for t in range(1, ntiles):
+        s = s + gm_sum[:, t * 128:(t + 1) * 128]
+    return jax.lax.dot_general(
+        s.astype(jnp.bfloat16), fold128,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _plane_taps(org_smem, u_ref, v_ref, pl_idx, rows_f, lane_xf,
+                win: int, win_y: int):
+    """Hat-function bilinear tap weights for one plane.
+
+    oh_y[p, y] = max(0, 1 - |y - vv[p]|)  (bf16, the matmul LHS)
+    m[p, l]    = max(0, 1 - |l//C - uu[p]|)  (f32 lane mask)
+
+    Identical values to the one-hot formulation ((y==fy)(1-ty) +
+    (y==fy+1)ty) at a fraction of the VPU ops, and no floor/int work.
+    """
+    vv = v_ref[0, pl_idx, :] - org_smem[0, pl_idx, 0].astype(jnp.float32)
+    uu = u_ref[0, pl_idx, :] - org_smem[0, pl_idx, 1].astype(jnp.float32)
+    vv = jnp.clip(vv, 0.0, win_y - 1.0)
+    uu = jnp.clip(uu, 0.0, win - 1.0)
+    oh_y = jnp.maximum(1.0 - jnp.abs(rows_f - vv[:, None]),
+                       0.0).astype(jnp.bfloat16)
+    m = jnp.maximum(1.0 - jnp.abs(lane_xf - uu[:, None]), 0.0)
+    return oh_y, m
+
+
 def _start_window_dmas(planes_ref, org_ref, bi, win_scratch, sems, slot,
-                       win: int):
+                       win: int, win_y: int):
     """Issues the 3 plane-window DMAs for the block whose (1, 3, 2) SMEM
     origin slice is `org_ref` into double-buffer `slot`. Origins are
     8-row / 4-texel aligned by construction (prepare_blocks);
@@ -127,7 +208,8 @@ def _start_window_dmas(planes_ref, org_ref, bi, win_scratch, sems, slot,
         y0 = pl.multiple_of(org_ref[0, pl_idx, 0], 8)
         x0c = pl.multiple_of(org_ref[0, pl_idx, 1] * C, 128)
         dma = pltpu.make_async_copy(
-            planes_ref.at[bi, pl_idx, pl.ds(y0, win), pl.ds(x0c, win * C)],
+            planes_ref.at[bi, pl_idx, pl.ds(y0, win_y),
+                          pl.ds(x0c, win * C)],
             win_scratch.at[slot, pl_idx],
             sems.at[slot, pl_idx],
         )
@@ -137,8 +219,8 @@ def _start_window_dmas(planes_ref, org_ref, bi, win_scratch, sems, slot,
 
 
 def _resident_kernel(org_smem, u_ref, v_ref, planes_ref, fold_ref, out_ref,
-                     planes_vmem, sems, *, win: int, p: int, nb: int,
-                     num_images: int, r: int):
+                     planes_vmem, sems, *, win: int, win_y: int, p: int,
+                     nb: int, num_images: int, r: int):
     """Plane-resident variant: each image's full triplanes (3, R, R*C bf16,
     ~12.6 MB at R=256) are DMA'd into a double-buffered VMEM scratch once
     per image (amortized over its NB blocks, with the next image
@@ -167,48 +249,34 @@ def _resident_kernel(org_smem, u_ref, v_ref, planes_ref, fold_ref, out_ref,
         pltpu.make_async_copy(planes_vmem.at[slot], planes_vmem.at[slot],
                               sems.at[slot]).wait()
 
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (p, win), 1)
-    lane_x = jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1) // C
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (p, win_y),
+                                      1).astype(jnp.float32)
+    lane_xf = (jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1)
+               // C).astype(jnp.float32)
 
     gm_sum = jnp.zeros((p, win * C), jnp.float32)
     for pl_idx in range(3):
         y0 = pl.multiple_of(org_smem[0, pl_idx, 0], 8)
         x0c = pl.multiple_of(org_smem[0, pl_idx, 1] * C, 128)
-        window = planes_vmem[slot, pl_idx, pl.ds(y0, win),
+        window = planes_vmem[slot, pl_idx, pl.ds(y0, win_y),
                              pl.ds(x0c, win * C)]
-        vv = v_ref[0, pl_idx, :] - org_smem[0, pl_idx, 0].astype(
-            jnp.float32)
-        uu = u_ref[0, pl_idx, :] - org_smem[0, pl_idx, 1].astype(
-            jnp.float32)
-        vv = jnp.clip(vv, 0.0, win - 2.0)
-        uu = jnp.clip(uu, 0.0, win - 2.0)
-        fy = jnp.floor(vv)
-        ty = (vv - fy)[:, None]
-        fx = jnp.floor(uu)
-        tx = (uu - fx)[:, None]
-        fyi = fy.astype(jnp.int32)[:, None]
-        fxi = fx.astype(jnp.int32)[:, None]
-
-        oh_y = ((rows_i == fyi) * (1.0 - ty) +
-                (rows_i == fyi + 1) * ty).astype(jnp.bfloat16)
+        oh_y, m = _plane_taps(org_smem, u_ref, v_ref, pl_idx, rows_f,
+                              lane_xf, win, win_y)
         g = jax.lax.dot_general(
             oh_y, window,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        m = ((lane_x == fxi) * (1.0 - tx) + (lane_x == fxi + 1) * tx)
         gm_sum = gm_sum + g * m
 
-    acc = jax.lax.dot_general(
-        gm_sum.astype(jnp.bfloat16), fold_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    acc = _fold_gm(gm_sum, fold_ref[:], win, p)
     out_ref[0] = (acc / 3.0).astype(out_ref.dtype)
 
 
 def _resident_grad_kernel(org_smem, u_ref, v_ref, dout_ref, planes_ref,
                           foldt_ref, dplanes_ref, duv_ref, planes_vmem,
-                          dgrad_vmem, sems, flush_sem, *, win: int, p: int,
-                          nb: int, num_images: int, r: int):
+                          dgrad_vmem, sems, flush_sem, *, win: int,
+                          win_y: int, p: int, nb: int, num_images: int,
+                          r: int):
     """Backward of the resident windowed sampler.
 
     Per block: recomputes the selection weights from (u, v), forms
@@ -243,7 +311,7 @@ def _resident_grad_kernel(org_smem, u_ref, v_ref, dout_ref, planes_ref,
         # Fresh image: zero the gradient accumulator.
         dgrad_vmem[...] = jnp.zeros_like(dgrad_vmem)
 
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (p, win), 1)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (p, win_y), 1)
     lane_x = jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1) // C
 
     dacc = dout_ref[0].astype(jnp.float32) / 3.0  # (P, C)
@@ -257,16 +325,17 @@ def _resident_grad_kernel(org_smem, u_ref, v_ref, dout_ref, planes_ref,
     for pl_idx in range(3):
         y0 = pl.multiple_of(org_smem[0, pl_idx, 0], 8)
         x0c = pl.multiple_of(org_smem[0, pl_idx, 1] * C, 128)
-        window = planes_vmem[slot, pl_idx, pl.ds(y0, win),
+        window = planes_vmem[slot, pl_idx, pl.ds(y0, win_y),
                              pl.ds(x0c, win * C)]
         vv_raw = v_ref[0, pl_idx, :] - org_smem[0, pl_idx, 0].astype(
             jnp.float32)
         uu_raw = u_ref[0, pl_idx, :] - org_smem[0, pl_idx, 1].astype(
             jnp.float32)
-        vv = jnp.clip(vv_raw, 0.0, win - 2.0)
-        uu = jnp.clip(uu_raw, 0.0, win - 2.0)
-        v_act = ((vv_raw > 0.0) & (vv_raw < win - 2.0)).astype(jnp.float32)
-        u_act = ((uu_raw > 0.0) & (uu_raw < win - 2.0)).astype(jnp.float32)
+        vv = jnp.clip(vv_raw, 0.0, win_y - 1.0)
+        uu = jnp.clip(uu_raw, 0.0, win - 1.0)
+        v_act = ((vv_raw > 0.0) &
+                 (vv_raw < win_y - 1.0)).astype(jnp.float32)
+        u_act = ((uu_raw > 0.0) & (uu_raw < win - 1.0)).astype(jnp.float32)
         fy = jnp.floor(vv)
         ty = (vv - fy)[:, None]
         fx = jnp.floor(uu)
@@ -285,9 +354,9 @@ def _resident_grad_kernel(org_smem, u_ref, v_ref, dout_ref, planes_ref,
         d_win = jax.lax.dot_general(
             oh_y, dg.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (win, win*C)
-        cur = dgrad_vmem[pl_idx, pl.ds(y0, win), pl.ds(x0c, win * C)]
-        dgrad_vmem[pl_idx, pl.ds(y0, win), pl.ds(x0c, win * C)] = (
+            preferred_element_type=jnp.float32)  # (win_y, win*C)
+        cur = dgrad_vmem[pl_idx, pl.ds(y0, win_y), pl.ds(x0c, win * C)]
+        dgrad_vmem[pl_idx, pl.ds(y0, win_y), pl.ds(x0c, win * C)] = (
             cur + d_win)
 
         # Coordinate gradients.
@@ -317,19 +386,20 @@ def _resident_grad_kernel(org_smem, u_ref, v_ref, dout_ref, planes_ref,
 
 
 def windowed_grad(planes_dma, u, v, origins, dout, win: int = WIN,
-                  interpret=None):
+                  win_y: int = WIN_Y, interpret=None):
     """Runs the backward kernel. Returns (dplanes_dma f32 (B,3,R,R*C),
     du (B,NB,3,P) f32, dv (B,NB,3,P) f32)."""
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, _, r, _ = planes_dma.shape
+    win_y = min(win_y, r)
     nb, p = u.shape[1], u.shape[3]
     num_blocks = b * nb
     foldt = jnp.asarray(_fold_matrix(win).T, jnp.bfloat16)  # (C, win*C)
     org_flat = origins.reshape(num_blocks, 3, 2)
 
-    kernel = functools.partial(_resident_grad_kernel, win=win, p=p, nb=nb,
-                               num_images=b, r=r)
+    kernel = functools.partial(_resident_grad_kernel, win=win, win_y=win_y,
+                               p=p, nb=nb, num_images=b, r=r)
     dplanes, duv = pl.pallas_call(
         kernel,
         grid=(num_blocks,),
@@ -399,19 +469,19 @@ def _decode_tail(acc, w0_ref, b0_ref, w1_ref, b1_ref, pal_ref):
 
 def _window_kernel_fused(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
                          fold_ref, w0_ref, b0_ref, w1_ref, b1_ref, pal_ref,
-                         out_ref, win_scratch, sems, *, win: int, p: int,
-                         nb: int, num_blocks: int):
+                         out_ref, win_scratch, sems, *, win: int,
+                         win_y: int, p: int, nb: int, num_blocks: int):
     """Windowed bilinear + fused decoder tail; out (P, 4)."""
     acc = _window_body(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
-                       fold_ref, win_scratch, sems, win=win, p=p, nb=nb,
-                       num_blocks=num_blocks)
+                       fold_ref, win_scratch, sems, win=win, win_y=win_y,
+                       p=p, nb=nb, num_blocks=num_blocks)
     out_ref[0] = _decode_tail(acc, w0_ref, b0_ref, w1_ref, b1_ref,
                               pal_ref).astype(out_ref.dtype)
 
 
 def _window_body(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
-                 fold_ref, win_scratch, sems, *, win: int, p: int, nb: int,
-                 num_blocks: int):
+                 fold_ref, win_scratch, sems, *, win: int, win_y: int,
+                 p: int, nb: int, num_blocks: int):
     """One flat block step, double-buffered: block i+1's windows prefetch
     while block i computes (DMA latency was the dominant cost when issued
     and awaited in the same step)."""
@@ -422,65 +492,50 @@ def _window_body(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
     @pl.when(i == 0)
     def _():
         _start_window_dmas(planes_ref, org_smem, i // nb, win_scratch,
-                           sems, slot, win)
+                           sems, slot, win, win_y)
 
     @pl.when(i + 1 < num_blocks)
     def _():
         _start_window_dmas(planes_ref, org_next_smem, (i + 1) // nb,
-                           win_scratch, sems, next_slot, win)
+                           win_scratch, sems, next_slot, win, win_y)
 
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (p, win), 1)
-    lane_x = jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1) // C
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (p, win_y),
+                                      1).astype(jnp.float32)
+    lane_xf = (jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1)
+               // C).astype(jnp.float32)
 
     # Sum the x-masked row mixes over the 3 planes FIRST, then fold the
-    # channel groups with a single matmul (one fold instead of three).
+    # channel groups once at the end.
     gm_sum = jnp.zeros((p, win * C), jnp.float32)
     for pl_idx in range(3):
         pltpu.make_async_copy(win_scratch.at[slot, pl_idx],
                               win_scratch.at[slot, pl_idx],
                               sems.at[slot, pl_idx]).wait()
-        y0 = org_smem[0, pl_idx, 0]
-        x0 = org_smem[0, pl_idx, 1]
-        vv = v_ref[0, pl_idx, :] - y0.astype(jnp.float32)
-        uu = u_ref[0, pl_idx, :] - x0.astype(jnp.float32)
-        # Clamp into the window (overflowed points are fixed up outside).
-        vv = jnp.clip(vv, 0.0, win - 2.0)
-        uu = jnp.clip(uu, 0.0, win - 2.0)
-        fy = jnp.floor(vv)
-        ty = (vv - fy)[:, None]
-        fx = jnp.floor(uu)
-        tx = (uu - fx)[:, None]
-        fyi = fy.astype(jnp.int32)[:, None]
-        fxi = fx.astype(jnp.int32)[:, None]
-
-        oh_y = ((rows_i == fyi) * (1.0 - ty) +
-                (rows_i == fyi + 1) * ty).astype(jnp.bfloat16)
+        oh_y, m = _plane_taps(org_smem, u_ref, v_ref, pl_idx, rows_f,
+                              lane_xf, win, win_y)
         g = jax.lax.dot_general(
             oh_y, win_scratch[slot, pl_idx],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (p, win*C)
-        m = ((lane_x == fxi) * (1.0 - tx) + (lane_x == fxi + 1) * tx)
         gm_sum = gm_sum + g * m
 
-    acc = jax.lax.dot_general(
-        gm_sum.astype(jnp.bfloat16), fold_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    acc = _fold_gm(gm_sum, fold_ref[:], win, p)
     return acc / 3.0
 
 
 def _window_kernel(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
                    fold_ref, out_ref, win_scratch, sems, *, win: int,
-                   p: int, nb: int, num_blocks: int):
+                   win_y: int, p: int, nb: int, num_blocks: int):
     """Windowed bilinear, raw (P, C) feature output."""
     acc = _window_body(org_smem, org_next_smem, u_ref, v_ref, planes_ref,
-                       fold_ref, win_scratch, sems, win=win, p=p, nb=nb,
-                       num_blocks=num_blocks)
+                       fold_ref, win_scratch, sems, win=win, win_y=win_y,
+                       p=p, nb=nb, num_blocks=num_blocks)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
-                        win: int = WIN, interpret=None, decode=None):
+                        win: int = WIN, win_y: int = WIN_Y,
+                        interpret=None, decode=None):
     """Runs the kernel. planes_dma: (B, 3, R, R*C) bf16;
     u/v: (B, NB, 3, P); origins: (B, NB, 3, 2).
 
@@ -496,16 +551,17 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, _, r, _ = planes_dma.shape
+    win_y = min(win_y, r)
     nb, p = u.shape[1], u.shape[3]
     num_blocks = b * nb
-    fold = jnp.asarray(_fold_matrix(win), jnp.bfloat16)
+    fold = jnp.asarray(_fold128_matrix(), jnp.bfloat16)
 
     # Plane-resident variant when a double-buffered pair of full plane
     # sets fits VMEM (measured >=96 MB on the target chip).
     plane_bytes = 3 * r * r * C * 2
     if decode is None and 2 * plane_bytes <= 48 * 1024 * 1024:
-        kernel = functools.partial(_resident_kernel, win=win, p=p, nb=nb,
-                                   num_images=b, r=r)
+        kernel = functools.partial(_resident_kernel, win=win, win_y=win_y,
+                                   p=p, nb=nb, num_images=b, r=r)
         org_flat = origins.reshape(num_blocks, 3, 2)
         out = pl.pallas_call(
             kernel,
@@ -538,14 +594,15 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
         return out.reshape(b, nb, p, C)
 
     if decode is None:
-        kernel = functools.partial(_window_kernel, win=win, p=p, nb=nb,
-                                   num_blocks=num_blocks)
+        kernel = functools.partial(_window_kernel, win=win, win_y=win_y,
+                                   p=p, nb=nb, num_blocks=num_blocks)
         out_ch = C
         extra_inputs = ()
         extra_specs = ()
     else:
-        kernel = functools.partial(_window_kernel_fused, win=win, p=p,
-                                   nb=nb, num_blocks=num_blocks)
+        kernel = functools.partial(_window_kernel_fused, win=win,
+                                   win_y=win_y, p=p, nb=nb,
+                                   num_blocks=num_blocks)
         out_ch = 4
         extra_inputs = (decode['w0'].astype(jnp.bfloat16),
                         decode['b0'].astype(jnp.float32),
@@ -586,7 +643,7 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
         out_shape=jax.ShapeDtypeStruct((num_blocks, p, out_ch),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, win, win * C), jnp.bfloat16),
+            pltpu.VMEM((2, 3, win_y, win * C), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -640,6 +697,7 @@ def sample_triplane_windowed(
     tile: int = TILE,
     slab: int = SLAB,
     win: int = WIN,
+    win_y: int = WIN_Y,
     interpret=None,
     decode=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -662,15 +720,16 @@ def sample_triplane_windowed(
     b, h, w, s, _ = coords.shape
     r = planes_dma.shape[2]
     n = h * w * s
-    u, v, origins, overflow = prepare_blocks(coords, r, tile, slab, win)
+    u, v, origins, ov_any = prepare_blocks(coords, r, tile, slab, win,
+                                           win_y)
     plane_bytes = 3 * r * r * C * 2
-    if decode is None and win == WIN and \
+    if decode is None and win == WIN and win_y == WIN_Y and \
             2 * plane_bytes <= 48 * 1024 * 1024:
         # Differentiable core (resident kernel fwd + grad kernel VJP):
         # gradients flow to the planes and to the point coordinates.
         feats = windowed_core(planes_dma, u, v, origins)
     else:
-        feats = sample_windowed_raw(planes_dma, u, v, origins, win,
+        feats = sample_windowed_raw(planes_dma, u, v, origins, win, win_y,
                                     interpret=interpret,
                                     decode=decode)  # (B, NB, P, C or 4)
 
@@ -679,7 +738,6 @@ def sample_triplane_windowed(
     # is ~100x cheaper than point-granular selection over B*N, and
     # overflow is spatially clustered (silhouette blocks) anyway.
     nb, p = feats.shape[1], feats.shape[2]
-    ov_any = jnp.any(overflow, axis=(2, 3))  # (B, NB)
     flat_ov = ov_any.reshape(-1)  # (B*NB,)
     cap_b = max(int(b * nb * overflow_capacity_frac), 4)
 

@@ -73,10 +73,10 @@ def main():
     t_p = timeit('pallas windowed full (with fixup)', pallas_full, planes,
                  pdma, packed, coords)
 
-    # Overflow rate for this geometry
+    # Overflow rate for this geometry (block granularity)
     _, _, _, ov = jax.jit(lambda c: tw.prepare_blocks(c, R))(coords)
-    frac = float(jnp.mean(jnp.any(ov, axis=2).astype(jnp.float32)))
-    print(f'overflow fraction: {frac:.4%}')
+    frac = float(jnp.mean(ov.astype(jnp.float32)))
+    print(f'overflow block fraction: {frac:.4%}')
 
     # On-device parity (scalar stats only; no big host transfers).
     @jax.jit
