@@ -272,6 +272,63 @@ def _resident_kernel(org_smem, u_ref, v_ref, planes_ref, fold_ref, out_ref,
     out_ref[0] = (acc / 3.0).astype(out_ref.dtype)
 
 
+def _resident_kernel_fused(org_smem, u_ref, v_ref, planes_ref, fold_ref,
+                           w0_ref, b0_ref, w1_ref, b1_ref, pal_ref,
+                           out_ref, planes_vmem, sems, *, win: int,
+                           win_y: int, p: int, nb: int, num_images: int,
+                           r: int):
+    """Plane-resident windowed bilinear + fused decoder tail; out (P, 4).
+
+    Same plane-residency scheme as `_resident_kernel` (full triplanes
+    double-buffered in VMEM, prefetched one image ahead); the decoder
+    MLP + attention softmax + palette matmul run on the in-register
+    (P, C) features, saving the feature HBM round-trip."""
+    i = pl.program_id(0)
+    img = i // nb
+    slot = jax.lax.rem(img, 2)
+
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(planes_ref.at[0], planes_vmem.at[0],
+                              sems.at[0]).start()
+
+    @pl.when(jax.lax.rem(i, nb) == 0)
+    def _():
+        nxt = img + 1
+
+        @pl.when(nxt < num_images)
+        def _():
+            pltpu.make_async_copy(planes_ref.at[nxt],
+                                  planes_vmem.at[jax.lax.rem(nxt, 2)],
+                                  sems.at[jax.lax.rem(nxt, 2)]).start()
+
+        pltpu.make_async_copy(planes_vmem.at[slot], planes_vmem.at[slot],
+                              sems.at[slot]).wait()
+
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (p, win_y),
+                                      1).astype(jnp.float32)
+    lane_xf = (jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1)
+               // C).astype(jnp.float32)
+
+    gm_sum = jnp.zeros((p, win * C), jnp.float32)
+    for pl_idx in range(3):
+        y0 = pl.multiple_of(org_smem[0, pl_idx, 0], 8)
+        x0c = pl.multiple_of(org_smem[0, pl_idx, 1] * C, 128)
+        window = planes_vmem[slot, pl_idx, pl.ds(y0, win_y),
+                             pl.ds(x0c, win * C)]
+        oh_y, m = _plane_taps(org_smem, u_ref, v_ref, pl_idx, rows_f,
+                              lane_xf, win, win_y)
+        g = jax.lax.dot_general(
+            oh_y, window,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gm_sum = gm_sum + g * m
+
+    acc = _fold_gm(gm_sum, fold_ref[:], win, p) / 3.0
+    out_ref[0] = _decode_tail(acc, w0_ref, b0_ref, w1_ref, b1_ref,
+                              pal_ref).astype(out_ref.dtype)
+
+
 def _resident_grad_kernel(org_smem, u_ref, v_ref, dout_ref, planes_ref,
                           foldt_ref, dplanes_ref, duv_ref, planes_vmem,
                           dgrad_vmem, sems, flush_sem, *, win: int,
@@ -412,11 +469,11 @@ def windowed_grad(planes_dma, u, v, origins, dout, win: int = WIN,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dplanes (HBM, flushed)
+            pl.BlockSpec(memory_space=pl.ANY),  # dplanes (HBM, flushed)
             pl.BlockSpec((1, 2, 3, p), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -559,9 +616,33 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
     # Plane-resident variant when a double-buffered pair of full plane
     # sets fits VMEM (measured >=96 MB on the target chip).
     plane_bytes = 3 * r * r * C * 2
-    if decode is None and 2 * plane_bytes <= 48 * 1024 * 1024:
-        kernel = functools.partial(_resident_kernel, win=win, win_y=win_y,
-                                   p=p, nb=nb, num_images=b, r=r)
+    if 2 * plane_bytes <= 48 * 1024 * 1024:
+        if decode is None:
+            kernel = functools.partial(_resident_kernel, win=win,
+                                       win_y=win_y, p=p, nb=nb,
+                                       num_images=b, r=r)
+            out_ch = C
+            extra_inputs = ()
+            extra_specs = ()
+        else:
+            kernel = functools.partial(_resident_kernel_fused, win=win,
+                                       win_y=win_y, p=p, nb=nb,
+                                       num_images=b, r=r)
+            out_ch = 4
+            extra_inputs = (decode['w0'].astype(jnp.bfloat16),
+                            decode['b0'].astype(jnp.float32),
+                            decode['w1'].astype(jnp.bfloat16),
+                            decode['b1'].astype(jnp.float32),
+                            decode['palette'].astype(jnp.bfloat16))
+            extra_specs = (
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,) + decode['palette'].shape[1:],
+                             lambda i: (i // nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+            )
         org_flat = origins.reshape(num_blocks, 3, 2)
         out = pl.pallas_call(
             kernel,
@@ -573,12 +654,13 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 3, p), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # planes in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # planes in HBM
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # fold matrix
+                *extra_specs,
             ],
-            out_specs=pl.BlockSpec((1, p, C), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, p, out_ch), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((num_blocks, p, C),
+            out_shape=jax.ShapeDtypeStruct((num_blocks, p, out_ch),
                                            jnp.bfloat16),
             scratch_shapes=[
                 pltpu.VMEM((2, 3, r, r * C), jnp.bfloat16),
@@ -590,8 +672,8 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
         )(org_flat,
           u.astype(jnp.float32).reshape(num_blocks, 3, p),
           v.astype(jnp.float32).reshape(num_blocks, 3, p),
-          planes_dma, fold)
-        return out.reshape(b, nb, p, C)
+          planes_dma, fold, *extra_inputs)
+        return out.reshape(b, nb, p, out_ch)
 
     if decode is None:
         kernel = functools.partial(_window_kernel, win=win, win_y=win_y,
@@ -634,7 +716,7 @@ def sample_windowed_raw(planes_dma: jnp.ndarray, u, v, origins,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # planes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # planes stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fold matrix
             *extra_specs,
         ],

@@ -89,6 +89,51 @@ def test_generator_pallas_path_matches_xla():
                                atol=3e-2)
 
 
+def test_windowed_fused_decode_matches_xla():
+    """Resident fused-decode kernel parity: in-kernel decoder MLP +
+    attention softmax + palette matmul vs the same math in XLA on the
+    XLA-gathered features."""
+    from nerf_from_image_tpu.ops.pallas import triplane_window as tw
+
+    k = jax.random.PRNGKey(0)
+    B, R = 2, 64
+    H = W = 8
+    S = 4
+    hid, nval = 64, 4
+    planes = jax.random.normal(k, (B, 3, 32, R, R), jnp.float32)
+    base = jax.random.uniform(jax.random.PRNGKey(1),
+                              (B, 1, 1, 1, 1, 1, 1, 3),
+                              minval=-0.5, maxval=0.5)
+    jit_ = jax.random.uniform(jax.random.PRNGKey(2),
+                              (B, 1, 8, 1, 8, 1, 4, 3),
+                              minval=-0.04, maxval=0.04)
+    coords = jnp.clip(base + jit_, -1, 1).reshape(B, H, W, S, 3)
+    decode = {
+        'w0': jax.random.normal(jax.random.PRNGKey(3), (32, hid)) * 0.2,
+        'b0': jax.random.normal(jax.random.PRNGKey(4), (hid,)) * 0.1,
+        'w1': jax.random.normal(jax.random.PRNGKey(5), (hid, 1 + nval)) * 0.2,
+        'b1': jax.random.normal(jax.random.PRNGKey(6), (1 + nval,)) * 0.1,
+        'palette': jax.random.normal(jax.random.PRNGKey(7), (B, nval, 3)),
+    }
+
+    pdma = tw.plane_layout_for_dma(planes)
+    out4, resid = jax.jit(lambda pl_, pd, c: tw.sample_triplane_windowed(
+        pl_, pd, None, c, decode=decode))(planes, pdma, coords)
+
+    packed = tri.pack_triplane(planes.astype(jnp.bfloat16))
+    feats = tri.sample_packed_triplane(packed, coords.reshape(B, -1, 3), R)
+    h = jax.nn.softplus(
+        feats.astype(jnp.float32) @ decode['w0'] + decode['b0'])
+    d = h @ decode['w1'] + decode['b1']
+    probs = jax.nn.softmax(d[..., 1:], axis=-1)
+    rgb = jnp.einsum('bpk,bkc->bpc', probs, decode['palette'])
+    ref = jnp.concatenate((d[..., :1], rgb), axis=-1)
+
+    assert int(resid) == 0
+    np.testing.assert_allclose(np.asarray(out4, np.float32),
+                               np.asarray(ref, np.float32), atol=6e-2)
+
+
 def test_windowed_gradients_match_xla():
     """custom_vjp (grad kernel) parity: d/d(planes) and d/d(coords)
     through the windowed sampler vs the XLA quad-table path."""
