@@ -167,9 +167,15 @@ def _fold_gm(gm_sum: jnp.ndarray, fold128, win: int, p: int) -> jnp.ndarray:
     tiny (P, 128) @ (128, C) matmul. Replaces the (P, win*C) @ (win*C, C)
     fold whose N=32 wasted 3/4 of the MXU lanes."""
     ntiles = (win * C) // 128
-    s = gm_sum[:, 0:128]
-    for t in range(1, ntiles):
-        s = s + gm_sum[:, t * 128:(t + 1) * 128]
+    # Balanced pairwise tree: log2(ntiles) dependent VPU adds instead of
+    # a serial chain of ntiles-1.
+    parts = [gm_sum[:, t * 128:(t + 1) * 128] for t in range(ntiles)]
+    while len(parts) > 1:
+        nxt = [parts[j] + parts[j + 1] for j in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    s = parts[0]
     return jax.lax.dot_general(
         s.astype(jnp.bfloat16), fold128,
         dimension_numbers=(((1,), (0,)), ((), ())),
