@@ -832,7 +832,10 @@ def sample_triplane_windowed(
     sel, = jnp.nonzero(flat_ov, size=cap_b, fill_value=0)  # block ids
     bi = (sel // nb).astype(jnp.int32)
     # Re-block the coords identically to prepare_blocks and gather the
-    # selected blocks' points.
+    # selected blocks' points. (Gathering rows of the already-blocked
+    # u/v instead looks cheaper but measured 26 ms SLOWER in the full
+    # render graph: it forces XLA to materialize the 100 MB u/v
+    # intermediates that otherwise fuse into the kernel call.)
     ht, wt, ks = h // tile, w // tile, s // slab
     cb = coords.reshape(b, ht, tile, wt, tile, ks, slab, 3)
     cb = cb.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b * nb, p, 3)
@@ -863,7 +866,10 @@ def sample_triplane_windowed(
         # Packed-table-free path (saves the (B, 3RR, 4C) table — 6.4 GB
         # at the training operating point): 4 taps of 32 contiguous
         # lanes each, gathered from the DMA plane layout viewed as
-        # (B*3*R*R, C) texel rows.
+        # (B*3*R*R, C) texel rows. Single-row `take` is the only gather
+        # form on XLA:TPU's fast path — both multi-row gather slices
+        # ((2, C) from this view) and lane-offset slices ((2, 2C) from a
+        # (B*3*R, R*C) view) measured 10-16x slower end-to-end.
         texels = planes_dma.reshape(b * 3 * r * r, C)
         for p_idx in range(3):
             fx = jnp.floor(uu[p_idx])
@@ -881,7 +887,7 @@ def sample_triplane_windowed(
                 yi = jnp.minimum(y0i + dy, r - 1)
                 xi = jnp.minimum(x0i + dx, r - 1)
                 tex = jnp.take(texels, base + yi * r + xi, axis=0)
-                acc = acc + tex * wsel.astype(tex.dtype)
+                acc = acc + tex.astype(jnp.float32) * wsel
             good = good + acc
     good = (good / 3.0).reshape(cap_b, p, C)
 

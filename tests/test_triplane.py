@@ -89,6 +89,36 @@ def test_generator_pallas_path_matches_xla():
                                atol=3e-2)
 
 
+def test_windowed_overflow_fixup_matches_xla():
+    """Blocks whose footprint exceeds the window must be corrected
+    exactly by the fixup gather (quad-slice path, packed_planes=None)."""
+    from nerf_from_image_tpu.ops.pallas import triplane_window as tw
+
+    B, R = 1, 128
+    H = W = 8
+    S = 4
+    planes = jax.random.normal(jax.random.PRNGKey(0), (B, 3, 32, R, R),
+                               jnp.float32)
+    # Points spread across most of the volume inside each block -> the
+    # (WIN, WIN_Y) window cannot cover them.
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (B, H, W, S, 3),
+                                minval=-0.95, maxval=0.95)
+    pdma = tw.plane_layout_for_dma(planes)
+    u, v, origins, ov = tw.prepare_blocks(coords, R)
+    assert bool(jnp.any(ov)), 'test geometry must overflow'
+
+    feats, resid = jax.jit(
+        lambda pl_, pd, c: tw.sample_triplane_windowed(
+            pl_, pd, None, c, overflow_capacity_frac=1.0))(
+        planes, pdma, coords)
+    assert int(resid) == 0
+
+    packed = tri.pack_triplane(planes.astype(jnp.bfloat16))
+    ref = tri.sample_packed_triplane(packed, coords.reshape(B, -1, 3), R)
+    np.testing.assert_allclose(np.asarray(feats, np.float32),
+                               np.asarray(ref, np.float32), atol=6e-2)
+
+
 def test_windowed_fused_decode_matches_xla():
     """Resident fused-decode kernel parity: in-kernel decoder MLP +
     attention softmax + palette matmul vs the same math in XLA on the
