@@ -48,11 +48,12 @@ SLAB = 4
 WIN = 48  # window COLS (x texels); WIN*C lanes is the matmul N dim
 # Window ROWS. The row-selection one-hot matmul contracts over K = WIN_Y,
 # which the MXU pads to 128 regardless — so a tall window is FREE on the
-# MXU up to 128 rows. Depth motion lands on the row axis for two of the
-# three planes, so tall windows absorb nearly all depth-slab footprint
-# (at WIN_Y == WIN ~50% of blocks overflowed the window at the flagship
-# 128^2/f=1.2 operating point; at 112 almost none do).
-WIN_Y = 112
+# MXU up to 128 rows (WIN_Y=112 and 128 measure identically). Depth
+# motion lands on the row axis for two of the three planes, so tall
+# windows absorb nearly all depth-slab footprint (at WIN_Y == WIN ~50%
+# of blocks overflowed at the flagship 128^2/f=1.2 operating point; at
+# 128, ZERO do — which lets the lax.cond'd overflow fixup skip entirely).
+WIN_Y = 128
 C = 32  # triplane channels
 
 
@@ -825,10 +826,33 @@ def sample_triplane_windowed(
     # selected at BLOCK granularity: nonzero over the (B*NB) block flags
     # is ~100x cheaper than point-granular selection over B*N, and
     # overflow is spatially clustered (silhouette blocks) anyway.
+    # The whole correction runs under lax.cond: batches with NO
+    # overflowing block (the common case at WIN_Y=128 — benign cameras)
+    # skip its ~20 ms/pass of index-bound gathers at runtime while
+    # keeping the exact path compiled in for the silhouette/fine-pass
+    # geometries that need it.
     nb, p = feats.shape[1], feats.shape[2]
     flat_ov = ov_any.reshape(-1)  # (B*NB,)
     cap_b = max(int(b * nb * overflow_capacity_frac), 4)
 
+    feats = jax.lax.cond(
+        jnp.any(flat_ov),
+        lambda f: _overflow_fixup(f, flat_ov, cap_b, coords, planes_dma,
+                                  packed_planes, decode, b, nb, p, h, w, s,
+                                  r, tile, slab),
+        lambda f: f,
+        feats)
+
+    feats = _unblock(feats, b, h, w, s, tile, slab)
+    resid = jnp.maximum(jnp.sum(flat_ov.astype(jnp.int32)) - cap_b, 0)
+    return feats, resid
+
+
+def _overflow_fixup(feats, flat_ov, cap_b, coords, planes_dma,
+                    packed_planes, decode, b, nb, p, h, w, s, r, tile,
+                    slab):
+    """Exact correction of overflowed blocks (see sample_triplane_windowed).
+    feats: (B, NB, P, out_ch) kernel output; returns same shape."""
     sel, = jnp.nonzero(flat_ov, size=cap_b, fill_value=0)  # block ids
     bi = (sel // nb).astype(jnp.int32)
     # Re-block the coords identically to prepare_blocks and gather the
@@ -908,8 +932,4 @@ def sample_triplane_windowed(
     valid = flat_ov[sel]
     cur = feats_flat[sel]
     new = jnp.where(valid[:, None, None], good.astype(feats.dtype), cur)
-    feats = feats_flat.at[sel].set(new).reshape(b, nb, p, out_ch)
-
-    feats = _unblock(feats, b, h, w, s, tile, slab)
-    resid = jnp.maximum(jnp.sum(flat_ov.astype(jnp.int32)) - cap_b, 0)
-    return feats, resid
+    return feats_flat.at[sel].set(new).reshape(b, nb, p, out_ch)
