@@ -419,7 +419,8 @@ class Generator(nn.Module):
         return jax.nn.softplus(density_pre) * (1.0 - out_of_bounds_mask)
 
     def sample(self, state: GeneratorState, x_in,
-               requests: Sequence[str] = ('sigma', 'rgb')):
+               requests: Sequence[str] = ('sigma', 'rgb'),
+               coord_grads: bool = True):
         """Evaluates the field at world points (generator.py:587-681).
 
         Args:
@@ -503,14 +504,14 @@ class Generator(nn.Module):
                 }
                 out4, _resid = triplane_window.sample_triplane_windowed(
                     state.planes, state.dma_planes, state.packed_planes,
-                    coords_n, decode=decode)
+                    coords_n, decode=decode, coord_grads=coord_grads)
                 dec = {'density_or_distance': out4[..., :1].astype(
                     self.dtype), 'features': None}
                 fused_rgb = out4[..., 1:].astype(self.dtype)
             else:
                 feats, _resid = triplane_window.sample_triplane_windowed(
                     state.planes, state.dma_planes, state.packed_planes,
-                    coords_n)
+                    coords_n, coord_grads=coord_grads)
                 dec = self.decoder.mlp(feats.astype(self.dtype))
         else:
             dec = decode_density(x_in)

@@ -507,6 +507,119 @@ def windowed_grad(planes_dma, u, v, origins, dout, win: int = WIN,
     return dplanes, du, dv
 
 
+def _resident_grad_planes_kernel(org_smem, u_ref, v_ref, dout_ref,
+                                 planes_ref, foldt_ref, dplanes_ref,
+                                 dgrad_vmem, sems, flush_sem, *, win: int,
+                                 win_y: int, p: int, nb: int,
+                                 num_images: int, r: int):
+    """Planes-only backward: `_resident_grad_kernel` without the du/dv
+    outputs. Training never optimizes the sample coordinates (poses are
+    data; the renderer stop-gradients the query points), and the two
+    coordinate-gradient matmuls (g, gv) are 2/3 of the per-plane
+    backward MXU work — dropping them takes the backward kernel from
+    ~3.7x to ~1.3x the forward's stream cost. Note: no plane windows are
+    read at all — d_window depends only on the selection weights and the
+    incoming cotangent."""
+    i = pl.program_id(0)
+    img = i // nb
+
+    @pl.when(jax.lax.rem(i, nb) == 0)
+    def _():
+        dgrad_vmem[...] = jnp.zeros_like(dgrad_vmem)
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (p, win_y), 1)
+    lane_x = jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1) // C
+
+    dacc = dout_ref[0].astype(jnp.float32) / 3.0  # (P, C)
+    dgm = jax.lax.dot_general(
+        dacc.astype(jnp.bfloat16), foldt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (P, win*C)
+
+    for pl_idx in range(3):
+        y0 = pl.multiple_of(org_smem[0, pl_idx, 0], 8)
+        x0c = pl.multiple_of(org_smem[0, pl_idx, 1] * C, 128)
+        vv = jnp.clip(v_ref[0, pl_idx, :] -
+                      org_smem[0, pl_idx, 0].astype(jnp.float32),
+                      0.0, win_y - 1.0)
+        uu = jnp.clip(u_ref[0, pl_idx, :] -
+                      org_smem[0, pl_idx, 1].astype(jnp.float32),
+                      0.0, win - 1.0)
+        fy = jnp.floor(vv)
+        ty = (vv - fy)[:, None]
+        fx = jnp.floor(uu)
+        tx = (uu - fx)[:, None]
+        fyi = fy.astype(jnp.int32)[:, None]
+        fxi = fx.astype(jnp.int32)[:, None]
+
+        oh_y = ((rows_i == fyi) * (1.0 - ty) +
+                (rows_i == fyi + 1) * ty).astype(jnp.bfloat16)
+        m = (lane_x == fxi) * (1.0 - tx) + (lane_x == fxi + 1) * tx
+
+        dg = dgm * m  # (P, win*C)
+        d_win = jax.lax.dot_general(
+            oh_y, dg.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (win_y, win*C)
+        cur = dgrad_vmem[pl_idx, pl.ds(y0, win_y), pl.ds(x0c, win * C)]
+        dgrad_vmem[pl_idx, pl.ds(y0, win_y), pl.ds(x0c, win * C)] = (
+            cur + d_win)
+
+    @pl.when(jax.lax.rem(i, nb) == nb - 1)
+    def _():
+        copy = pltpu.make_async_copy(dgrad_vmem, dplanes_ref.at[img],
+                                     flush_sem)
+        copy.start()
+        copy.wait()
+
+
+def windowed_grad_planes(planes_dma, u, v, origins, dout, win: int = WIN,
+                         win_y: int = WIN_Y, interpret=None):
+    """Planes-only backward. Returns dplanes_dma f32 (B, 3, R, R*C)."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, _, r, _ = planes_dma.shape
+    win_y = min(win_y, r)
+    nb, p = u.shape[1], u.shape[3]
+    num_blocks = b * nb
+    foldt = jnp.asarray(_fold_matrix(win).T, jnp.bfloat16)  # (C, win*C)
+    org_flat = origins.reshape(num_blocks, 3, 2)
+
+    kernel = functools.partial(_resident_grad_planes_kernel, win=win,
+                               win_y=win_y, p=p, nb=nb, num_images=b, r=r)
+    dplanes = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 3, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, 3, r, r * C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, r, r * C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            has_side_effects=True),
+        interpret=interpret,
+    )(org_flat,
+      u.astype(jnp.float32).reshape(num_blocks, 3, p),
+      v.astype(jnp.float32).reshape(num_blocks, 3, p),
+      dout.reshape(num_blocks, p, C), planes_dma, foldt)
+    return dplanes
+
+
 def _decode_tail(acc, w0_ref, b0_ref, w1_ref, b1_ref, pal_ref):
     """Fused decoder tail: 2-layer softplus MLP + attention softmax +
     palette matmul (models/generator.py TriplanarDecoder.mlp + the
@@ -768,6 +881,35 @@ def _windowed_core_bwd(res, dout):
 windowed_core.defvjp(_windowed_core_fwd, _windowed_core_bwd)
 
 
+@jax.custom_vjp
+def windowed_core_planes(planes_dma, u, v, origins):
+    """Like `windowed_core` but its VJP produces PLANE gradients only
+    (du/dv are zero). For callers whose sample coordinates are
+    stop-gradient'd — the GAN training steps — this skips the two
+    coordinate-gradient matmuls that are 2/3 of the backward kernel's
+    MXU work. Using it where coordinates DO need gradients silently
+    zeroes them; `sample_triplane_windowed(coord_grads=...)` is the
+    gated entry point."""
+    return sample_windowed_raw(planes_dma, u, v, origins)
+
+
+def _windowed_core_planes_fwd(planes_dma, u, v, origins):
+    out = sample_windowed_raw(planes_dma, u, v, origins)
+    return out, (planes_dma, u, v, origins)
+
+
+def _windowed_core_planes_bwd(res, dout):
+    planes_dma, u, v, origins = res
+    dplanes = windowed_grad_planes(planes_dma, u, v, origins, dout)
+    zero_org = np.zeros(origins.shape, dtype=jax.dtypes.float0)
+    return (dplanes.astype(planes_dma.dtype), jnp.zeros_like(u),
+            jnp.zeros_like(v), zero_org)
+
+
+windowed_core_planes.defvjp(_windowed_core_planes_fwd,
+                            _windowed_core_planes_bwd)
+
+
 def _unblock(x: jnp.ndarray, b, h, w, s, tile, slab):
     """(B, NB, P, C) -> (B, H*W*S, C) in renderer point order."""
     ht, wt, ks = h // tile, w // tile, s // slab
@@ -789,6 +931,7 @@ def sample_triplane_windowed(
     win_y: int = WIN_Y,
     interpret=None,
     decode=None,
+    coord_grads: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full windowed sampler with exact overflow correction.
 
@@ -801,6 +944,10 @@ def sample_triplane_windowed(
       coords: (B, H, W, S, 3) normalized [-1, 1] sample coordinates.
       overflow_capacity_frac: fixed correction capacity as a fraction of
         the total point count.
+      coord_grads: set False ONLY when `coords` is stop-gradient'd
+        upstream (GAN training: poses are data) — the backward then runs
+        the planes-only grad kernel (~3x cheaper) and coordinate
+        cotangents are zero.
 
     Returns:
       features (B, H*W*S, C) bf16, overflow_resid (scalar int32: points
@@ -809,14 +956,18 @@ def sample_triplane_windowed(
     b, h, w, s, _ = coords.shape
     r = planes_dma.shape[2]
     n = h * w * s
+    if not coord_grads:
+        coords = jax.lax.stop_gradient(coords)
     u, v, origins, ov_any = prepare_blocks(coords, r, tile, slab, win,
                                            win_y)
     plane_bytes = 3 * r * r * C * 2
     if decode is None and win == WIN and win_y == WIN_Y and \
             2 * plane_bytes <= 48 * 1024 * 1024:
-        # Differentiable core (resident kernel fwd + grad kernel VJP):
-        # gradients flow to the planes and to the point coordinates.
-        feats = windowed_core(planes_dma, u, v, origins)
+        # Differentiable core (resident kernel fwd + backward kernel as
+        # VJP): gradients flow to the planes, and to the point
+        # coordinates unless coord_grads=False.
+        core = windowed_core if coord_grads else windowed_core_planes
+        feats = core(planes_dma, u, v, origins)
     else:
         feats = sample_windowed_raw(planes_dma, u, v, origins, win, win_y,
                                     interpret=interpret,

@@ -283,7 +283,12 @@ def generator_forward(gen: Generator, params_g, z, pose, focal, center,
     state = gen.apply(params_g, ws, method=Generator.synthesize)
 
     def sample_fn(pts, reqs):
-        return gen.apply(params_g, state, pts, reqs, method=Generator.sample)
+        # coord_grads=False: training never differentiates wrt the sample
+        # coordinates (poses/cameras are data) — the windowed sampler's
+        # backward then skips its coordinate-gradient matmuls (~3x
+        # cheaper backward kernel).
+        return gen.apply(params_g, state, pts, reqs,
+                         coord_grads=False, method=Generator.sample)
 
     out = render(sample_fn, cfg.resolution, cfg.resolution, pose, focal,
                  center, bbox, cfg.scene_range, cfg.white_background,

@@ -205,3 +205,15 @@ def test_windowed_gradients_match_xla():
 
     assert rel(gp_p, gp_x) < 0.05  # bf16 tap-weight rounding scale
     assert rel(gc_p, gc_x) < 0.05
+
+    # Planes-only backward (coord_grads=False): plane grads must match;
+    # coordinate grads are zero by contract.
+    def loss_pallas_pg(planes, coords):
+        pdma = tw.plane_layout_for_dma(planes)
+        feats, _ = tw.sample_triplane_windowed(planes, pdma, None, coords,
+                                               coord_grads=False)
+        return jnp.sum(feats.astype(jnp.float32) * wvec)
+
+    gp_po, gc_po = jax.grad(loss_pallas_pg, argnums=(0, 1))(planes, coords)
+    assert rel(gp_po, gp_x) < 0.05
+    assert float(jnp.sum(jnp.abs(gc_po))) == 0.0
