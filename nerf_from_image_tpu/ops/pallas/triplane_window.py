@@ -225,15 +225,16 @@ def _start_window_dmas(planes_ref, org_ref, bi, win_scratch, sems, slot,
     return copies
 
 
-def _resident_kernel(org_smem, u_ref, v_ref, planes_ref, fold_ref, out_ref,
-                     planes_vmem, sems, *, win: int, win_y: int, p: int,
-                     nb: int, num_images: int, r: int):
-    """Plane-resident variant: each image's full triplanes (3, R, R*C bf16,
-    ~12.6 MB at R=256) are DMA'd into a double-buffered VMEM scratch once
-    per image (amortized over its NB blocks, with the next image
-    prefetched), and every block's window is a dynamic VMEM slice — no
-    per-block DMA at all. Measured VMEM on the target chip is >=96 MB, so
-    2 x 12.6 MB + temps fit comfortably."""
+def _resident_body(org_smem, u_ref, v_ref, planes_ref, fold_ref,
+                   planes_vmem, sems, *, win: int, win_y: int, p: int,
+                   nb: int, num_images: int):
+    """Plane-resident block step: each image's full triplanes (3, R,
+    R*C bf16, ~12.6 MB at R=256) are DMA'd into a double-buffered VMEM
+    scratch once per image (amortized over its NB blocks, with the next
+    image prefetched), and every block's window is a dynamic VMEM
+    slice — no per-block DMA at all. Measured VMEM on the target chip is
+    >=96 MB, so 2 x 12.6 MB + temps fit comfortably. Returns the (P, C)
+    f32 mean-of-planes features."""
     i = pl.program_id(0)
     img = i // nb
     slot = jax.lax.rem(img, 2)
@@ -275,8 +276,17 @@ def _resident_kernel(org_smem, u_ref, v_ref, planes_ref, fold_ref, out_ref,
             preferred_element_type=jnp.float32)
         gm_sum = gm_sum + g * m
 
-    acc = _fold_gm(gm_sum, fold_ref[:], win, p)
-    out_ref[0] = (acc / 3.0).astype(out_ref.dtype)
+    return _fold_gm(gm_sum, fold_ref[:], win, p) / 3.0
+
+
+def _resident_kernel(org_smem, u_ref, v_ref, planes_ref, fold_ref, out_ref,
+                     planes_vmem, sems, *, win: int, win_y: int, p: int,
+                     nb: int, num_images: int, r: int):
+    """Plane-resident windowed bilinear; raw (P, C) feature output."""
+    acc = _resident_body(org_smem, u_ref, v_ref, planes_ref, fold_ref,
+                         planes_vmem, sems, win=win, win_y=win_y, p=p,
+                         nb=nb, num_images=num_images)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _resident_kernel_fused(org_smem, u_ref, v_ref, planes_ref, fold_ref,
@@ -284,54 +294,10 @@ def _resident_kernel_fused(org_smem, u_ref, v_ref, planes_ref, fold_ref,
                            out_ref, planes_vmem, sems, *, win: int,
                            win_y: int, p: int, nb: int, num_images: int,
                            r: int):
-    """Plane-resident windowed bilinear + fused decoder tail; out (P, 4).
-
-    Same plane-residency scheme as `_resident_kernel` (full triplanes
-    double-buffered in VMEM, prefetched one image ahead); the decoder
-    MLP + attention softmax + palette matmul run on the in-register
-    (P, C) features, saving the feature HBM round-trip."""
-    i = pl.program_id(0)
-    img = i // nb
-    slot = jax.lax.rem(img, 2)
-
-    @pl.when(i == 0)
-    def _():
-        pltpu.make_async_copy(planes_ref.at[0], planes_vmem.at[0],
-                              sems.at[0]).start()
-
-    @pl.when(jax.lax.rem(i, nb) == 0)
-    def _():
-        nxt = img + 1
-
-        @pl.when(nxt < num_images)
-        def _():
-            pltpu.make_async_copy(planes_ref.at[nxt],
-                                  planes_vmem.at[jax.lax.rem(nxt, 2)],
-                                  sems.at[jax.lax.rem(nxt, 2)]).start()
-
-        pltpu.make_async_copy(planes_vmem.at[slot], planes_vmem.at[slot],
-                              sems.at[slot]).wait()
-
-    rows_f = jax.lax.broadcasted_iota(jnp.int32, (p, win_y),
-                                      1).astype(jnp.float32)
-    lane_xf = (jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1)
-               // C).astype(jnp.float32)
-
-    gm_sum = jnp.zeros((p, win * C), jnp.float32)
-    for pl_idx in range(3):
-        y0 = pl.multiple_of(org_smem[0, pl_idx, 0], 8)
-        x0c = pl.multiple_of(org_smem[0, pl_idx, 1] * C, 128)
-        window = planes_vmem[slot, pl_idx, pl.ds(y0, win_y),
-                             pl.ds(x0c, win * C)]
-        oh_y, m = _plane_taps(org_smem, u_ref, v_ref, pl_idx, rows_f,
-                              lane_xf, win, win_y)
-        g = jax.lax.dot_general(
-            oh_y, window,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        gm_sum = gm_sum + g * m
-
-    acc = _fold_gm(gm_sum, fold_ref[:], win, p) / 3.0
+    """Plane-resident windowed bilinear + fused decoder tail; out (P, 4)."""
+    acc = _resident_body(org_smem, u_ref, v_ref, planes_ref, fold_ref,
+                         planes_vmem, sems, win=win, win_y=win_y, p=p,
+                         nb=nb, num_images=num_images)
     out_ref[0] = _decode_tail(acc, w0_ref, b0_ref, w1_ref, b1_ref,
                               pal_ref).astype(out_ref.dtype)
 
@@ -508,18 +474,21 @@ def windowed_grad(planes_dma, u, v, origins, dout, win: int = WIN,
 
 
 def _resident_grad_planes_kernel(org_smem, u_ref, v_ref, dout_ref,
-                                 planes_ref, foldt_ref, dplanes_ref,
-                                 dgrad_vmem, sems, flush_sem, *, win: int,
-                                 win_y: int, p: int, nb: int,
+                                 dplanes_ref, dgrad_vmem, flush_sem, *,
+                                 win: int, win_y: int, p: int, nb: int,
                                  num_images: int, r: int):
     """Planes-only backward: `_resident_grad_kernel` without the du/dv
-    outputs. Training never optimizes the sample coordinates (poses are
-    data; the renderer stop-gradients the query points), and the two
-    coordinate-gradient matmuls (g, gv) are 2/3 of the per-plane
-    backward MXU work — dropping them takes the backward kernel from
-    ~3.7x to ~1.3x the forward's stream cost. Note: no plane windows are
-    read at all — d_window depends only on the selection weights and the
-    incoming cotangent."""
+    outputs. For callers whose sample coordinates carry no gradient
+    (the GAN train steps — poses are data and the fine-pass depths are
+    stop-gradient'd), the two coordinate-gradient matmuls (g, gv) are
+    2/3 of the per-plane backward MXU work — dropping them takes the
+    backward kernel from ~3.7x to ~1.3x the forward's stream cost.
+
+    Note: the PLANES themselves are never read — d_window depends only
+    on the selection weights (recomputed from u/v with the same
+    hat-function taps as the forward) and the incoming cotangent, so
+    this kernel takes no plane input at all (the forward's plane tensor
+    can die before the backward runs)."""
     i = pl.program_id(0)
     img = i // nb
 
@@ -527,35 +496,21 @@ def _resident_grad_planes_kernel(org_smem, u_ref, v_ref, dout_ref,
     def _():
         dgrad_vmem[...] = jnp.zeros_like(dgrad_vmem)
 
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (p, win_y), 1)
-    lane_x = jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1) // C
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (p, win_y),
+                                      1).astype(jnp.float32)
+    lane_xf = (jax.lax.broadcasted_iota(jnp.int32, (p, win * C), 1)
+               // C).astype(jnp.float32)
 
     dacc = dout_ref[0].astype(jnp.float32) / 3.0  # (P, C)
-    dgm = jax.lax.dot_general(
-        dacc.astype(jnp.bfloat16), foldt_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (P, win*C)
+    # dGM[p, l] = dacc[p, l % C]: a lane-tile repeat (C divides 128),
+    # not a matmul.
+    dgm = pltpu.repeat(dacc, win, axis=1)  # (P, win*C)
 
     for pl_idx in range(3):
         y0 = pl.multiple_of(org_smem[0, pl_idx, 0], 8)
         x0c = pl.multiple_of(org_smem[0, pl_idx, 1] * C, 128)
-        vv = jnp.clip(v_ref[0, pl_idx, :] -
-                      org_smem[0, pl_idx, 0].astype(jnp.float32),
-                      0.0, win_y - 1.0)
-        uu = jnp.clip(u_ref[0, pl_idx, :] -
-                      org_smem[0, pl_idx, 1].astype(jnp.float32),
-                      0.0, win - 1.0)
-        fy = jnp.floor(vv)
-        ty = (vv - fy)[:, None]
-        fx = jnp.floor(uu)
-        tx = (uu - fx)[:, None]
-        fyi = fy.astype(jnp.int32)[:, None]
-        fxi = fx.astype(jnp.int32)[:, None]
-
-        oh_y = ((rows_i == fyi) * (1.0 - ty) +
-                (rows_i == fyi + 1) * ty).astype(jnp.bfloat16)
-        m = (lane_x == fxi) * (1.0 - tx) + (lane_x == fxi + 1) * tx
-
+        oh_y, m = _plane_taps(org_smem, u_ref, v_ref, pl_idx, rows_f,
+                              lane_xf, win, win_y)
         dg = dgm * m  # (P, win*C)
         d_win = jax.lax.dot_general(
             oh_y, dg.astype(jnp.bfloat16),
@@ -573,16 +528,17 @@ def _resident_grad_planes_kernel(org_smem, u_ref, v_ref, dout_ref,
         copy.wait()
 
 
-def windowed_grad_planes(planes_dma, u, v, origins, dout, win: int = WIN,
+def windowed_grad_planes(plane_shape, u, v, origins, dout, win: int = WIN,
                          win_y: int = WIN_Y, interpret=None):
-    """Planes-only backward. Returns dplanes_dma f32 (B, 3, R, R*C)."""
+    """Planes-only backward. plane_shape: the (B, 3, R, R*C) shape of the
+    DMA plane layout (the tensor itself is NOT needed). Returns
+    dplanes_dma f32 of that shape."""
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
-    b, _, r, _ = planes_dma.shape
+    b, _, r, _ = plane_shape
     win_y = min(win_y, r)
     nb, p = u.shape[1], u.shape[3]
     num_blocks = b * nb
-    foldt = jnp.asarray(_fold_matrix(win).T, jnp.bfloat16)  # (C, win*C)
     org_flat = origins.reshape(num_blocks, 3, 2)
 
     kernel = functools.partial(_resident_grad_planes_kernel, win=win,
@@ -599,14 +555,11 @@ def windowed_grad_planes(planes_dma, u, v, origins, dout, win: int = WIN,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((b, 3, r, r * C), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((3, r, r * C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -616,7 +569,7 @@ def windowed_grad_planes(planes_dma, u, v, origins, dout, win: int = WIN,
     )(org_flat,
       u.astype(jnp.float32).reshape(num_blocks, 3, p),
       v.astype(jnp.float32).reshape(num_blocks, 3, p),
-      dout.reshape(num_blocks, p, C), planes_dma, foldt)
+      dout.reshape(num_blocks, p, C))
     return dplanes
 
 
@@ -881,7 +834,33 @@ def _windowed_core_bwd(res, dout):
 windowed_core.defvjp(_windowed_core_fwd, _windowed_core_bwd)
 
 
-@jax.custom_vjp
+@functools.lru_cache(maxsize=None)
+def _windowed_core_planes_for(plane_shape, plane_dtype_name):
+    """custom_vjp instance specialized on the plane tensor's static
+    shape/dtype: the backward never reads the planes, so keeping the
+    statics in a closure (instead of saving the tensor as a residual)
+    lets the forward's plane tensor die before the backward runs."""
+    plane_dtype = jnp.dtype(plane_dtype_name)
+
+    @jax.custom_vjp
+    def core(planes_dma, u, v, origins):
+        return sample_windowed_raw(planes_dma, u, v, origins)
+
+    def fwd(planes_dma, u, v, origins):
+        return sample_windowed_raw(planes_dma, u, v, origins), (u, v,
+                                                                origins)
+
+    def bwd(res, dout):
+        u, v, origins = res
+        dplanes = windowed_grad_planes(plane_shape, u, v, origins, dout)
+        zero_org = np.zeros(origins.shape, dtype=jax.dtypes.float0)
+        return (dplanes.astype(plane_dtype), jnp.zeros_like(u),
+                jnp.zeros_like(v), zero_org)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
 def windowed_core_planes(planes_dma, u, v, origins):
     """Like `windowed_core` but its VJP produces PLANE gradients only
     (du/dv are zero). For callers whose sample coordinates are
@@ -890,24 +869,9 @@ def windowed_core_planes(planes_dma, u, v, origins):
     MXU work. Using it where coordinates DO need gradients silently
     zeroes them; `sample_triplane_windowed(coord_grads=...)` is the
     gated entry point."""
-    return sample_windowed_raw(planes_dma, u, v, origins)
-
-
-def _windowed_core_planes_fwd(planes_dma, u, v, origins):
-    out = sample_windowed_raw(planes_dma, u, v, origins)
-    return out, (planes_dma, u, v, origins)
-
-
-def _windowed_core_planes_bwd(res, dout):
-    planes_dma, u, v, origins = res
-    dplanes = windowed_grad_planes(planes_dma, u, v, origins, dout)
-    zero_org = np.zeros(origins.shape, dtype=jax.dtypes.float0)
-    return (dplanes.astype(planes_dma.dtype), jnp.zeros_like(u),
-            jnp.zeros_like(v), zero_org)
-
-
-windowed_core_planes.defvjp(_windowed_core_planes_fwd,
-                            _windowed_core_planes_bwd)
+    core = _windowed_core_planes_for(tuple(planes_dma.shape),
+                                     jnp.dtype(planes_dma.dtype).name)
+    return core(planes_dma, u, v, origins)
 
 
 def _unblock(x: jnp.ndarray, b, h, w, s, tile, slab):
@@ -955,7 +919,6 @@ def sample_triplane_windowed(
     """
     b, h, w, s, _ = coords.shape
     r = planes_dma.shape[2]
-    n = h * w * s
     if not coord_grads:
         coords = jax.lax.stop_gradient(coords)
     u, v, origins, ov_any = prepare_blocks(coords, r, tile, slab, win,
@@ -1033,10 +996,10 @@ def _overflow_fixup(feats, flat_ov, cap_b, coords, planes_dma,
             fyi = jnp.minimum(fy.astype(jnp.int32), r - 1)
             row = bi_pt * rr3 + p_idx * r * r + fyi * r + fxi
             quad = jnp.take(packed_flat, row, axis=0).reshape(
-                cap_b * p, 4, C)
+                cap_b * p, 4, C).astype(jnp.float32)
             wts = jnp.stack(((1 - tx) * (1 - ty), tx * (1 - ty),
                              (1 - tx) * ty, tx * ty), axis=1)
-            good = good + jnp.sum(quad * wts.astype(quad.dtype), axis=1)
+            good = good + jnp.sum(quad * wts, axis=1)
     else:
         # Packed-table-free path (saves the (B, 3RR, 4C) table — 6.4 GB
         # at the training operating point): 4 taps of 32 contiguous

@@ -283,10 +283,13 @@ def generator_forward(gen: Generator, params_g, z, pose, focal, center,
     state = gen.apply(params_g, ws, method=Generator.synthesize)
 
     def sample_fn(pts, reqs):
-        # coord_grads=False: training never differentiates wrt the sample
-        # coordinates (poses/cameras are data) — the windowed sampler's
-        # backward then skips its coordinate-gradient matmuls (~3x
-        # cheaper backward kernel).
+        # coord_grads=False: in the G/D steps poses/focals are input
+        # DATA, so nothing trainable reaches the sample coordinates and
+        # the windowed sampler's backward can skip its coordinate-
+        # gradient matmuls (~3x cheaper backward kernel). CAUTION: if a
+        # trainable pose source is ever threaded through this render
+        # (the way invert/ optimizes pose), this flag silently zeroes
+        # those gradients — it must then be dropped.
         return gen.apply(params_g, state, pts, reqs,
                          coord_grads=False, method=Generator.sample)
 
