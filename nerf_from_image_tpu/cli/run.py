@@ -110,7 +110,7 @@ def main(argv=None):
 
     ckpt = ckpt_lib.CheckpointManager(checkpoint_dir)
     state = jax.jit(lambda k: gan_lib.init_train_state(
-        k, cfg, dtype=jnp.float32))(jax.random.PRNGKey(1234))
+        k, cfg, dtype=dtype))(jax.random.PRNGKey(1234))
     state = mesh_lib.replicate(state, mesh)
 
     resume_label = None
@@ -186,7 +186,7 @@ def main(argv=None):
     from nerf_from_image_tpu.train.eval import GANEvaluator
     inception_apply = make_inception_apply(args)
     lpips_apply = make_lpips_apply(args) if args.use_encoder else None
-    gen, _ = gan_lib.make_models(cfg)
+    gen, _ = gan_lib.make_models(cfg, dtype)
     if args.use_pallas:
         # Eval renders are gradient-free: route them through the
         # windowed Pallas sampler (same params, no extra state).
@@ -211,14 +211,16 @@ def main(argv=None):
     if args.use_sdf and int(state.iteration) == 0:
         from nerf_from_image_tpu.train.pretrain import pretrain_sdf
         print('SDF pre-training...')
-        state = pretrain_sdf(state, cfg, mesh, args.eikonal, lr=args.lr_g)
+        state = pretrain_sdf(state, cfg, mesh, args.eikonal, lr=args.lr_g,
+                             dtype=dtype)
 
     state = loop_lib.train_gan(state, cfg, train_split, mesh,
                                num_iters=args.iterations, writer=writer,
                                ckpt_manager=ckpt, eval_fn=eval_fn,
                                profile_trace_at=args.profile_trace_at,
                                trace_dir=os.path.join(tensorboard_dir,
-                                                      'trace'))
+                                                      'trace'),
+                               dtype=dtype)
     ckpt.save(state, 'latest')
     print('Training done.')
 
@@ -246,7 +248,10 @@ def make_inception_apply(args):
               'self-consistent only). Run scripts/convert_weights.py.')
         variables = net.init(jax.random.PRNGKey(0),
                              jnp.zeros((1, 3, 32, 32)))
-    return jax.jit(lambda im: net.apply(variables, im))
+    _jit = jax.jit(net.apply)
+    # Pass the weights as a runtime argument — closing over them bakes
+    # ~90 MB of constants into the executable (HBM-resident per program).
+    return lambda im: _jit(variables, im)
 
 
 def make_lpips_apply(args):
@@ -271,7 +276,8 @@ def make_lpips_apply(args):
         variables = net.init(jax.random.PRNGKey(0),
                              jnp.zeros((1, 3, 32, 32)),
                              jnp.zeros((1, 3, 32, 32)))
-    return jax.jit(lambda a, b: net.apply(variables, a, b, normalize=True))
+    _jit = jax.jit(lambda v, a, b: net.apply(v, a, b, normalize=True))
+    return lambda a, b: _jit(variables, a, b)
 
 
 if __name__ == '__main__':

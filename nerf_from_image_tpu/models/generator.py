@@ -449,28 +449,40 @@ class Generator(nn.Module):
             jnp.any(jnp.abs(x) > 1.0, axis=-1).astype(x.dtype).reshape(
                 bs, -1))
 
+        # Windowed Pallas sampler for structured point grids. Fully
+        # differentiable (custom-VJP backward kernel incl. per-point
+        # du/dv), so normals — a first-order point gradient of the
+        # SDF — also route through it; only the second-order eikonal
+        # path (sdf_losses) stays on the XLA quad-table decode.
+        use_windowed = (
+            self.use_pallas and state.dma_planes is not None and
+            x_in.ndim == 5 and
+            x_in.shape[1] % 8 == 0 and x_in.shape[2] % 8 == 0 and
+            x_in.shape[3] % 4 == 0 and
+            state.plane_resolution >= 64)  # window must fit the plane
+
         outputs: Dict[str, jnp.ndarray] = {}
         if 'normals' in requests:
             # Normals = normalized gradient of the SDF wrt input points.
-            def sdf_sum(pts):
-                d = decode_density(pts)['density_or_distance']
-                return jnp.sum(d[..., -1])
+            if use_windowed:
+                from nerf_from_image_tpu.ops.pallas import triplane_window
+
+                def sdf_sum(pts):
+                    feats_n, _ = triplane_window.sample_triplane_windowed(
+                        state.planes, state.dma_planes,
+                        state.packed_planes, pts / self.scene_range)
+                    d = self.decoder.mlp(feats_n.astype(self.dtype))[
+                        'density_or_distance']
+                    return jnp.sum(d[..., -1])
+            else:
+                def sdf_sum(pts):
+                    d = decode_density(pts)['density_or_distance']
+                    return jnp.sum(d[..., -1])
 
             grad = jax.grad(sdf_sum)(x_in)
             norm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
             outputs['normals'] = (grad / jnp.maximum(norm, 1e-12)).reshape(
                 bs, -1, 3)
-
-        # Windowed Pallas sampler: used for structured point grids when
-        # enabled and no point-gradient (normals) is requested — the
-        # kernel has no VJP; everything downstream of the gathered
-        # features differentiates normally.
-        use_windowed = (
-            self.use_pallas and state.dma_planes is not None and
-            x_in.ndim == 5 and 'normals' not in requests and
-            x_in.shape[1] % 8 == 0 and x_in.shape[2] % 8 == 0 and
-            x_in.shape[3] % 4 == 0 and
-            state.plane_resolution >= 64)  # window must fit the plane
         fused_rgb = None
         if use_windowed:
             from nerf_from_image_tpu.ops.pallas import triplane_window

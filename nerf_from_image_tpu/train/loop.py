@@ -65,10 +65,14 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
               train_split, mesh, num_iters: int,
               writer=None, ckpt_manager=None, eval_fn=None,
               log_every: int = 100, seed: int = 1234,
-              profile_trace_at: int = 0, trace_dir: str = ''):
-    """Runs GAN training from state.iteration to num_iters."""
-    gen, disc = gan_lib.make_models(cfg)
-    disc2 = gan_lib.make_second_discriminator(cfg)
+              profile_trace_at: int = 0, trace_dir: str = '',
+              dtype=None):
+    """Runs GAN training from state.iteration to num_iters. `dtype` is
+    the COMPUTE dtype of the models (params stay f32); None -> f32."""
+    import jax.numpy as _jnp
+    dtype = dtype or _jnp.float32
+    gen, disc = gan_lib.make_models(cfg, dtype)
+    disc2 = gan_lib.make_second_discriminator(cfg, dtype)
     opt_g, opt_d = gan_lib.make_optimizers(cfg)
 
     rng_np = np.random.RandomState(seed)

@@ -19,8 +19,9 @@ PRETRAIN_STEPS = 1000
 
 def pretrain_sdf(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
                  mesh, eikonal_weight: float, lr: float,
-                 n_steps: int = PRETRAIN_STEPS) -> gan_lib.GANTrainState:
-    gen, _ = gan_lib.make_models(cfg)
+                 n_steps: int = PRETRAIN_STEPS,
+                 dtype=None) -> gan_lib.GANTrainState:
+    gen, _ = gan_lib.make_models(cfg, dtype or jnp.float32)
     opt = optax.adam(lr)
 
     def one_step(carry, rng):

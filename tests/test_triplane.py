@@ -78,15 +78,20 @@ def test_generator_pallas_path_matches_xla():
         out = render_fn(sample_fn, 16, 16, cam, jnp.full((1,), 1.2), None,
                         None, scene_range=0.55, white_background=True,
                         depth_samples_per_ray=4, rng=None,
-                        fine_sampling=True)
-        return out.rgb, out.mask
+                        fine_sampling=True, compute_normals=True)
+        return out.rgb, out.mask, out.normals
 
-    rgb_x, mask_x = jax.jit(lambda: forward(gen_x))()
-    rgb_p, mask_p = jax.jit(lambda: forward(gen_p))()
+    rgb_x, mask_x, nrm_x = jax.jit(lambda: forward(gen_x))()
+    rgb_p, mask_p, nrm_p = jax.jit(lambda: forward(gen_p))()
     np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_x),
                                atol=3e-2)
     np.testing.assert_allclose(np.asarray(mask_p), np.asarray(mask_x),
                                atol=3e-2)
+    # Normals go through the windowed sampler's backward kernel (du/dv)
+    # on the pallas path; composited normals must agree with the XLA
+    # quad-table double-grad path.
+    np.testing.assert_allclose(np.asarray(nrm_p), np.asarray(nrm_x),
+                               atol=6e-2)
 
 
 def test_windowed_overflow_fixup_matches_xla():
