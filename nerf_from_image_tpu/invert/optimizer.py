@@ -66,7 +66,7 @@ def make_camera(params: InversionParams, camera_flipped: bool):
 def render_from_params(gen: Generator, gen_vars, params: InversionParams,
                        cfg: InversionConfig, center=None, bbox=None,
                        compute_normals=False, compute_semantics=False,
-                       override_cam=None):
+                       override_cam=None, ray_sharding=None):
     cam, focal = make_camera(params, cfg.camera_flipped)
     if override_cam is not None:
         cam = override_cam
@@ -84,7 +84,8 @@ def render_from_params(gen: Generator, gen_vars, params: InversionParams,
                  cfg.depth_samples_per_ray * cfg.ray_multiplier, rng=None,
                  fine_sampling=cfg.fine_sampling,
                  compute_normals=compute_normals,
-                 compute_semantics=compute_semantics)
+                 compute_semantics=compute_semantics,
+                 ray_sharding=ray_sharding)
     return out, cam, focal
 
 
@@ -112,12 +113,16 @@ def inversion_loss(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
             pred_rep = jnp.repeat(pred_nchw, n_aug, axis=0)
             target_rep = jax.lax.stop_gradient(
                 jnp.repeat(target_nchw, n_aug, axis=0))
-            pred_aug, _, _, _ = augment_lib.augment(
+            pred_aug, _, _, tform = augment_lib.augment(
                 rng, pred_rep, None, None, 1.0,
                 white_background=cfg.white_background)
+            # Reuse the first call's sampled transform explicitly so
+            # pred/target warps stay aligned even if transform sampling
+            # ever becomes input-dependent (ADVICE r1).
             target_aug, _, _, _ = augment_lib.augment(
                 rng, target_rep, None, None, 1.0,
-                white_background=cfg.white_background)
+                white_background=cfg.white_background,
+                cached_tform=tform)
             target_aug = jax.lax.stop_gradient(target_aug)
             pred_all = jnp.concatenate((pred_nchw, pred_aug), axis=0)
             target_all = jnp.concatenate((target_nchw, target_aug), axis=0)
@@ -126,6 +131,15 @@ def inversion_loss(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
         lp = lpips.apply(lpips_vars, pred_all, target_all)
         # Disjoint samples: sum over batch (run.py:2232-2235).
         loss = loss + jnp.mean(lp) * pred.shape[0]
+        # The first B rows of pred_all/target_all are the un-augmented
+        # pair, so the reference's lpips_monitor (run.py:2249-2252) is
+        # free here.
+        lpips_monitor = jax.lax.stop_gradient(
+            jnp.mean(lp.reshape(-1)[:pred.shape[0]]))
+    else:
+        lpips_monitor = jax.lax.stop_gradient(jnp.mean(
+            lpips.apply(lpips_vars, pred.transpose(0, 3, 1, 2),
+                        target.transpose(0, 3, 1, 2))))
     if cfg.loss_type in ('l1', 'mixed'):
         loss = loss + jnp.mean(jnp.abs(pred - target)) * pred.shape[0]
     if cfg.loss_type == 'mse':
@@ -136,12 +150,14 @@ def inversion_loss(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
     monitor = {
         'psnr': -10.0 * jnp.log10(
             jnp.mean(jnp.square((pred - target) / 2.0), axis=(1, 2, 3))),
+        'lpips': lpips_monitor,
+        'cam': jax.lax.stop_gradient(cam),
     }
     return loss, monitor
 
 
 def make_inversion_step(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
-                        cfg: InversionConfig):
+                        cfg: InversionConfig, gt_cam2world=None):
     opt = optax.adam(cfg.lr, b1=0.9, b2=0.95)
 
     def project(params: InversionParams) -> InversionParams:
@@ -167,7 +183,21 @@ def make_inversion_step(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
                                   z0=zero(grads.z0))
         updates, opt_state = opt.update(grads, opt_state, params)
         params = project(optax.apply_updates(params, updates))
-        metrics = {'loss': loss, 'psnr': jnp.mean(monitor['psnr'])}
+        # Per-param grad norms, reference names z/f/R/s/t
+        # (run.py:1998-2010, 2299-2304; f = log-focal z0, t = t2).
+        norm = lambda g: jnp.sqrt(jnp.sum(jnp.square(g)))
+        metrics = {'loss': loss, 'psnr': jnp.mean(monitor['psnr']),
+                   'lpips': monitor['lpips'],
+                   'grad_norm_z': norm(grads.z),
+                   'grad_norm_R': norm(grads.R),
+                   'grad_norm_s': norm(grads.s),
+                   'grad_norm_t': norm(grads.t2)}
+        if grads.z0 is not None:
+            metrics['grad_norm_f'] = norm(grads.z0)
+        if gt_cam2world is not None:
+            metrics['rot_error'] = jnp.mean(
+                pose_utils.rotation_matrix_distance(
+                    monitor['cam'], gt_cam2world))
         return (params, opt_state, target), metrics
 
     return opt, step
@@ -175,9 +205,13 @@ def make_inversion_step(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
 
 def run_inversion(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
                   init_params: InversionParams, target_img: jnp.ndarray,
-                  cfg: InversionConfig, n_steps: int, rng: jax.Array):
-    """Full refinement loop as one lax.scan; returns (params, metrics)."""
-    opt, step = make_inversion_step(gen, gen_vars, lpips, lpips_vars, cfg)
+                  cfg: InversionConfig, n_steps: int, rng: jax.Array,
+                  gt_cam2world=None):
+    """Full refinement loop as one lax.scan; returns (params, metrics).
+    Metrics are per-step stacked scalars (the monitor_b0/* telemetry of
+    run.py:2288-2306); rot_error is included when gt_cam2world given."""
+    opt, step = make_inversion_step(gen, gen_vars, lpips, lpips_vars, cfg,
+                                    gt_cam2world=gt_cam2world)
     opt_state = opt.init(init_params)
     rngs = jax.random.split(rng, n_steps)
     (params, _, _), metrics = jax.lax.scan(

@@ -431,6 +431,15 @@ class Generator(nn.Module):
 
         Returns dict with values flattened over non-batch dims:
           sigma (B, N), rgb (B, N, 3 or K), etc.
+
+        Contract: `sdf_distance` and `normals` are undefined for points
+        outside the scene AABB (|x| > scene_range). The windowed Pallas
+        sampler excludes such points from window placement and returns
+        window-clamped rather than border-clamped texels for them, while
+        the XLA quad-table path border-clamps; sigma/rgb are unaffected
+        because out-of-box sigma is zeroed (rendering weights vanish),
+        but per-point SDF/normal values at OOB points differ between the
+        two paths and must not be consumed unweighted.
         """
         bs = x_in.shape[0]
 
@@ -454,11 +463,21 @@ class Generator(nn.Module):
         # du/dv), so normals — a first-order point gradient of the
         # SDF — also route through it; only the second-order eikonal
         # path (sdf_losses) stays on the XLA quad-table decode.
+        # The resident (double-buffered) kernel — the only windowed
+        # variant with a VJP — needs two full plane sets in VMEM; above
+        # that (plane_resolution > ~354 at C=32) sample_triplane_windowed
+        # silently drops to the raw no-VJP pallas_call, which would fail
+        # at trace time under jax.grad. Gate on the same fit condition
+        # so oversized configs fall back to the XLA quad-table decode.
+        _r = state.plane_resolution
+        _c = state.planes.shape[-3] if state.planes is not None else 32
+        resident_fit = 2 * (3 * _r * _r * _c * 2) <= 48 * 1024 * 1024
         use_windowed = (
             self.use_pallas and state.dma_planes is not None and
             x_in.ndim == 5 and
             x_in.shape[1] % 8 == 0 and x_in.shape[2] % 8 == 0 and
             x_in.shape[3] % 4 == 0 and
+            resident_fit and
             state.plane_resolution >= 64)  # window must fit the plane
 
         outputs: Dict[str, jnp.ndarray] = {}

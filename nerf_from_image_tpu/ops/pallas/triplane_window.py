@@ -967,8 +967,15 @@ def _overflow_fixup(feats, flat_ov, cap_b, coords, planes_dma,
                     slab):
     """Exact correction of overflowed blocks (see sample_triplane_windowed).
     feats: (B, NB, P, out_ch) kernel output; returns same shape."""
-    sel, = jnp.nonzero(flat_ov, size=cap_b, fill_value=0)  # block ids
-    bi = (sel // nb).astype(jnp.int32)
+    # Filler entries (when fewer than cap_b blocks overflow) get the
+    # out-of-range id b*nb so the final scatter drops them; all gathers
+    # below use the clamped `sel_c` to stay in range. A fill of 0 would
+    # scatter duplicate index 0, and the scatter-set VJP would then
+    # gather block 0's cotangent once per filler — inflating its
+    # feature/plane gradient whenever the fixup path is live.
+    sel, = jnp.nonzero(flat_ov, size=cap_b, fill_value=b * nb)  # block ids
+    sel_c = jnp.minimum(sel, b * nb - 1)
+    bi = (sel_c // nb).astype(jnp.int32)
     # Re-block the coords identically to prepare_blocks and gather the
     # selected blocks' points. (Gathering rows of the already-blocked
     # u/v instead looks cheaper but measured 26 ms SLOWER in the full
@@ -977,7 +984,7 @@ def _overflow_fixup(feats, flat_ov, cap_b, coords, planes_dma,
     ht, wt, ks = h // tile, w // tile, s // slab
     cb = coords.reshape(b, ht, tile, wt, tile, ks, slab, 3)
     cb = cb.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b * nb, p, 3)
-    pts = cb[sel].reshape(cap_b * p, 3)  # (cap_b*P, 3)
+    pts = cb[sel_c].reshape(cap_b * p, 3)  # (cap_b*P, 3)
 
     uu, vv = _project_texel(pts.astype(jnp.float32), r)  # (3, cap_b*P)
     bi_pt = jnp.repeat(bi, p)
@@ -1043,7 +1050,10 @@ def _overflow_fixup(feats, flat_ov, cap_b, coords, planes_dma,
 
     out_ch = feats.shape[-1]
     feats_flat = feats.reshape(b * nb, p, out_ch)
-    valid = flat_ov[sel]
-    cur = feats_flat[sel]
+    valid = flat_ov[sel_c]
+    cur = feats_flat[sel_c]
     new = jnp.where(valid[:, None, None], good.astype(feats.dtype), cur)
-    return feats_flat.at[sel].set(new).reshape(b, nb, p, out_ch)
+    # mode='drop' discards filler rows (sel == b*nb) instead of writing
+    # them; their updates also get zero cotangent in the VJP.
+    return feats_flat.at[sel].set(
+        new, mode='drop').reshape(b, nb, p, out_ch)

@@ -222,3 +222,56 @@ def test_windowed_gradients_match_xla():
     gp_po, gc_po = jax.grad(loss_pallas_pg, argnums=(0, 1))(planes, coords)
     assert rel(gp_po, gp_x) < 0.05
     assert float(jnp.sum(jnp.abs(gc_po))) == 0.0
+
+
+def test_overflow_fixup_partial_capacity_gradients():
+    """When fewer blocks overflow than the fixup capacity, filler
+    selection entries must be dropped, not scattered as duplicate block
+    0 (which inflated block 0's plane/feature gradient; ADVICE r1)."""
+    from nerf_from_image_tpu.ops.pallas import triplane_window as tw
+
+    B, R = 1, 128
+    H = W = 8
+    S = 4
+    planes = jax.random.normal(jax.random.PRNGKey(0), (B, 3, 32, R, R),
+                               jnp.float32)
+    # Tight per-block clusters (fit the window) everywhere except two
+    # blocks whose points are spread over the whole volume -> exactly
+    # those blocks overflow, leaving most of the cap as filler.
+    base = jax.random.uniform(jax.random.PRNGKey(1),
+                              (B, 1, 1, 1, 1, 1, 1, 3),
+                              minval=-0.4, maxval=0.4)
+    jit_ = jax.random.uniform(jax.random.PRNGKey(2),
+                              (B, 1, 8, 1, 8, 1, 4, 3),
+                              minval=-0.03, maxval=0.03)
+    coords = jnp.clip(base + jit_, -1, 1).reshape(B, H, W, S, 3)
+    spread = jax.random.uniform(jax.random.PRNGKey(3), (2, S, 3),
+                                minval=-0.95, maxval=0.95)
+    cb = coords.reshape(B, H // 8, 8, W // 8, 8, S // 4, 4, 3)
+    cb = cb.at[0, 0, 0, 0, 0, 0].set(spread[0])
+    cb = cb.at[0, 0, 3, 0, 5, 0].set(spread[1])
+    coords = cb.reshape(B, H, W, S, 3)
+    _, _, _, ov = tw.prepare_blocks(coords, R)
+    n_ov = int(jnp.sum(ov.astype(jnp.int32)))
+    assert 0 < n_ov < 4, f'need partial overflow, got {n_ov} blocks'
+
+    wvec = jax.random.normal(jax.random.PRNGKey(5), (B, H * W * S, 32))
+
+    def loss_pallas(planes):
+        pdma = tw.plane_layout_for_dma(planes)
+        feats, _ = tw.sample_triplane_windowed(
+            planes, pdma, None, coords, overflow_capacity_frac=1.0)
+        return jnp.sum(feats.astype(jnp.float32) * wvec)
+
+    def loss_xla(planes):
+        packed = tri.pack_triplane(planes.astype(jnp.bfloat16))
+        feats = tri.sample_packed_triplane(packed,
+                                           coords.reshape(B, -1, 3), R)
+        return jnp.sum(feats.astype(jnp.float32) * wvec)
+
+    fp, gp = jax.value_and_grad(loss_pallas)(planes)
+    fx, gx = jax.value_and_grad(loss_xla)(planes)
+    np.testing.assert_allclose(float(fp), float(fx), rtol=2e-2)
+    a = np.asarray(gp, np.float64)
+    b = np.asarray(gx, np.float64)
+    assert np.abs(a - b).max() / (np.abs(b).max() + 1e-8) < 0.05
