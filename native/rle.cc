@@ -15,7 +15,6 @@ extern "C" {
 // Returns the number of counts written (<= max_counts).
 int nfi_rle_decode_counts(const char* s, int64_t* counts, int max_counts) {
   int m = 0;
-  int64_t prev = 0;
   const unsigned char* p = reinterpret_cast<const unsigned char*>(s);
   while (*p && m < max_counts) {
     int64_t x = 0;
@@ -30,8 +29,11 @@ int nfi_rle_decode_counts(const char* s, int64_t* counts, int max_counts) {
       ++k;
       if (!more && (c & 0x10)) x |= -1LL << (5 * k);
     }
-    if (m > 2) x += prev;
-    prev = x;
+    // COCO spec (pycocotools rleFrString): counts 0..2 are absolute;
+    // from index 3 on, each value is delta-coded against the count TWO
+    // positions back (same parity, i.e. the previous run of the same
+    // color) — NOT the immediately preceding count.
+    if (m > 2) x += counts[m - 2];
     counts[m++] = x;
   }
   return m;
