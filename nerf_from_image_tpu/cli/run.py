@@ -34,6 +34,10 @@ def main(argv=None):
 
     args = config_lib.parse_args(argv)
 
+    # Multi-host (pod) runs: must happen before any other JAX call.
+    from nerf_from_image_tpu.parallel import distributed as dist
+    dist.maybe_initialize(args)
+
     if args.inv_manual_input_path:
         args.inv_export_demo_sample = True
     if args.inv_export_demo_sample:
@@ -114,6 +118,7 @@ def main(argv=None):
     state = mesh_lib.replicate(state, mesh)
 
     resume_label = None
+    host_state = None
     if args.resume_from and args.resume_from.endswith('.pth'):
         # Literal reference-checkpoint path (run.py:102-132 third form):
         # convert the torch state dicts in place. Optimizer moments are
@@ -158,11 +163,13 @@ def main(argv=None):
         assert resume_ckpt.exists(resume_label), \
             f'checkpoint {args.resume_from} does not exist'
         state = resume_ckpt.restore(state, resume_label)
+        host_state = resume_ckpt.restore_host_state(resume_label)
         print('Resumed from iteration', int(state.iteration))
     elif ckpt.exists('latest') and not args.run_inversion:
         candidate = ckpt.restore(state, 'latest')
         if int(candidate.iteration) >= 12500:
             state = candidate
+            host_state = ckpt.restore_host_state('latest')
             print('Auto-resumed from iteration', int(state.iteration))
         else:
             print('Aborting resume (training from scratch)')
@@ -175,8 +182,13 @@ def main(argv=None):
         return
 
     # ---- GAN training ------------------------------------------------------
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    writer = SummaryWriter(tensorboard_dir)
+    # Host-side side effects (tensorboard, checkpoints) are process-0
+    # only on multi-host runs; every process still computes the same
+    # replicated eval values.
+    main_proc = dist.is_main_process()
+    if main_proc:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+    writer = SummaryWriter(tensorboard_dir) if main_proc else None
 
     # Evaluation stack: Inception for FID (+ LPIPS for encoder-mode
     # reconstruction metrics). Converted reference weights are loaded when
@@ -198,6 +210,9 @@ def main(argv=None):
         use_class=args.use_class,
         eval_batch_size=min(args.batch_size, 8),
         stats_cache_dir=os.path.join(args.root_path, 'fid_stats'))
+    if host_state is not None and 'best_fid' in host_state:
+        # checkpoint_best gating survives restarts (run.py:1403-1405).
+        evaluator.best_fid = float(host_state['best_fid'])
     eval_rng = np.random.RandomState(4321)
 
     def eval_fn(s, i):
@@ -214,14 +229,16 @@ def main(argv=None):
         state = pretrain_sdf(state, cfg, mesh, args.eikonal, lr=args.lr_g,
                              dtype=dtype)
 
-    state = loop_lib.train_gan(state, cfg, train_split, mesh,
-                               num_iters=args.iterations, writer=writer,
-                               ckpt_manager=ckpt, eval_fn=eval_fn,
-                               profile_trace_at=args.profile_trace_at,
-                               trace_dir=os.path.join(tensorboard_dir,
-                                                      'trace'),
-                               dtype=dtype)
-    ckpt.save(state, 'latest')
+    state = loop_lib.train_gan(
+        state, cfg, train_split, mesh,
+        num_iters=args.iterations, writer=writer,
+        ckpt_manager=ckpt if main_proc else None, eval_fn=eval_fn,
+        profile_trace_at=args.profile_trace_at,
+        trace_dir=os.path.join(tensorboard_dir, 'trace'),
+        dtype=dtype, host_state=host_state,
+        host_state_extra=lambda: {'best_fid': evaluator.best_fid})
+    if main_proc:
+        ckpt.save(state, 'latest')
     print('Training done.')
 
 

@@ -25,6 +25,55 @@ from nerf_from_image_tpu.utils.io import EndlessSampler
 DISPLAY_EVERY = 5000
 
 
+def metric_tag(key: str, dual: bool) -> str:
+    """Maps a step-metrics key to the reference's tensorboard tag
+    (run.py:1021-1177). In dual-D mode the FIRST discriminator is the
+    conditional one and gets the `_cond` suffix; the second
+    (unconditional) one gets the bare tag."""
+    fixed = {
+        'loss_eikonal': 'loss/eikonal',
+        'loss_tv': 'loss/tv',
+        'loss_entropy': 'loss/entropy',
+        'loss_ppl': 'ppl/loss',
+        'grad_norm_g': 'grad_norm/g',
+        'grad_norm_d': 'grad_norm/d',
+        'grad_norm_d2': 'grad_norm/d2',
+        'sign_real': 'augment/sign_real',
+        'loss_g': 'loss/g_cond' if dual else 'loss/g',
+        'loss_g_uncond': 'loss/g',
+        'loss_r1': 'loss/r1_cond' if dual else 'loss/r1',
+        'loss_r1_uncond': 'loss/r1',
+        'loss_d_real_cond': 'loss/d_real_cond',
+        'loss_d_fake_cond': 'loss/d_fake_cond',
+        'loss_d_real': 'loss/d_real',
+        'loss_d_fake': 'loss/d_fake',
+    }
+    return fixed.get(key, f'loss/{key}')
+
+
+def log_train_scalars(writer, metrics, state, cfg, i: int,
+                      elapsed_ips: float) -> None:
+    """Writes the step metrics plus the state-derived scalar families the
+    reference logs (run.py:1043, 1057-1062, 1170): ppl/running_avg,
+    sdf/{alpha,beta}(_ema), augment/p."""
+    dual = cfg.dual_discriminator
+    for k, v in metrics.items():
+        writer.add_scalar(metric_tag(k, dual), float(v), i)
+    writer.add_scalar('img_per_sec', elapsed_ips, i)
+    if cfg.augment_p_max > 0:
+        writer.add_scalar('augment/p', float(state.augment_p), i)
+    if cfg.path_length_regularization:
+        writer.add_scalar('ppl/running_avg', float(state.ppl_running_avg),
+                          i)
+    if cfg.use_sdf:
+        p = state.params_g['params']
+        pe = state.ema_params_g['params']
+        writer.add_scalar('sdf/beta', float(p['beta'][0]), i)
+        writer.add_scalar('sdf/alpha', float(p['alpha'][0]), i)
+        writer.add_scalar('sdf/beta_ema', float(pe['beta'][0]), i)
+        writer.add_scalar('sdf/alpha_ema', float(pe['alpha'][0]), i)
+
+
 def sample_batch(train_split, batch_size: int, rng: np.random.RandomState,
                  cfg, train_sampler: Optional[EndlessSampler] = None,
                  latent_rng: Optional[jax.Array] = None,
@@ -66,10 +115,18 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
               writer=None, ckpt_manager=None, eval_fn=None,
               log_every: int = 100, seed: int = 1234,
               profile_trace_at: int = 0, trace_dir: str = '',
-              dtype=None):
+              dtype=None, host_state=None, host_state_extra=None):
     """Runs GAN training from state.iteration to num_iters. `dtype` is
-    the COMPUTE dtype of the models (params stay f32); None -> f32."""
+    the COMPUTE dtype of the models (params stay f32); None -> f32.
+
+    `host_state` (from CheckpointManager.restore_host_state) restores the
+    host RNG / batch-sampler / host-key so a resumed run reproduces the
+    exact batch order (run.py:1474-1516, lib/utils.py:87-113);
+    `host_state_extra` is a callable whose dict is merged into every
+    saved host state (e.g. the evaluator's best_fid)."""
     import jax.numpy as _jnp
+
+    from nerf_from_image_tpu.utils import checkpoint as ckpt_lib
     dtype = dtype or _jnp.float32
     gen, disc = gan_lib.make_models(cfg, dtype)
     disc2 = gan_lib.make_second_discriminator(cfg, dtype)
@@ -78,6 +135,11 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
     rng_np = np.random.RandomState(seed)
     train_sampler = EndlessSampler(len(train_split.images), rng_np)
     host_key = jax.random.PRNGKey(seed + 1)
+    if host_state is not None:
+        restored_key = ckpt_lib.apply_host_state(host_state, rng_np,
+                                                 train_sampler)
+        if restored_key is not None:
+            host_key = jnp.asarray(restored_key)
 
     dual = cfg.dual_discriminator
     g_step = jax.jit(lambda s, b, b2=None: gan_lib.g_step(
@@ -141,9 +203,7 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
             elapsed_ips = cfg.batch_size / max(time.time() - t1, 1e-9)
 
         if writer is not None and i % log_every == 0:
-            for k, v in metrics.items():
-                writer.add_scalar(f'loss/{k}', float(v), i)
-            writer.add_scalar('img_per_sec', elapsed_ips, i)
+            log_train_scalars(writer, metrics, state, cfg, i, elapsed_ips)
 
         # Early-OOM smoke eval at iteration 3 + periodic eval/checkpoint
         # (run.py:1195-1197, 1474-1516). eval_fn returns (current_fid,
@@ -154,11 +214,14 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
             if eval_fn is not None:
                 _, is_best = eval_fn(state, i)
             if ckpt_manager is not None:
-                ckpt_manager.save(state, 'latest')
+                hs = ckpt_lib.pack_host_state(
+                    rng_np, train_sampler, host_key,
+                    **(host_state_extra() if host_state_extra else {}))
+                ckpt_manager.save(state, 'latest', host_state=hs)
                 if is_best:
-                    ckpt_manager.save(state, 'best')
+                    ckpt_manager.save(state, 'best', host_state=hs)
                 if (i + 1) % 50000 == 0:
-                    ckpt_manager.save(state, f'{i + 1}')
+                    ckpt_manager.save(state, f'{i + 1}', host_state=hs)
         i += 1
 
     return state

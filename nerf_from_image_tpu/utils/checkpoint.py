@@ -58,14 +58,67 @@ class CheckpointManager:
         return os.path.join(self.directory, f'checkpoint_{label}')
 
     def save(self, tree: Any, label: str = 'latest',
-             metadata: Optional[dict] = None):
+             metadata: Optional[dict] = None,
+             host_state: Optional[dict] = None):
         save_pytree(self._path(label), tree, metadata)
+        if host_state is not None:
+            np.savez(os.path.join(self._path(label), 'host_state.npz'),
+                     **host_state)
 
     def restore(self, target: Any, label: str = 'latest') -> Any:
         return restore_pytree(self._path(label), target)
+
+    def restore_host_state(self, label: str = 'latest') -> Optional[dict]:
+        path = os.path.join(self._path(label), 'host_state.npz')
+        if not os.path.exists(path):
+            return None
+        return dict(np.load(path))
 
     def exists(self, label: str = 'latest') -> bool:
         return os.path.exists(self._path(label))
 
     def metadata(self, label: str = 'latest') -> dict:
         return load_metadata(self._path(label))
+
+
+# ---- Host-side state (bit-exact resume) --------------------------------
+#
+# The reference checkpoints the numpy/torch RNG state per device AND the
+# batch-sampler state and best_fid (run.py:1474-1516, lib/utils.py:87-113)
+# so a resumed run reproduces the exact batch order and checkpoint_best
+# gating. The device-side RNG key lives in the GANTrainState pytree; the
+# host-side pieces (numpy RandomState, EndlessSampler permutation/position,
+# host PRNG key, best FID) are packed here into a sidecar npz saved next
+# to the orbax checkpoint.
+
+def pack_host_state(rng_np: np.random.RandomState, sampler=None,
+                    host_key=None, **extra) -> dict:
+    st = rng_np.get_state()
+    out = {
+        'np_mt_keys': np.asarray(st[1], np.uint32),
+        'np_mt_pos': np.asarray(st[2], np.int64),
+        'np_has_gauss': np.asarray(st[3], np.int64),
+        'np_cached_gaussian': np.asarray(st[4], np.float64),
+    }
+    if sampler is not None:
+        ss = sampler.get_state()
+        out['sampler_perm'] = np.asarray(ss['perm'])
+        out['sampler_pos'] = np.asarray(ss['pos'], np.int64)
+    if host_key is not None:
+        out['host_key'] = np.asarray(host_key)
+    for k, v in extra.items():
+        out[k] = np.asarray(v)
+    return out
+
+
+def apply_host_state(hs: dict, rng_np: np.random.RandomState,
+                     sampler=None):
+    """Restores rng_np (in place) and the sampler; returns the host key
+    array (or None)."""
+    rng_np.set_state(('MT19937', np.asarray(hs['np_mt_keys'], np.uint32),
+                      int(hs['np_mt_pos']), int(hs['np_has_gauss']),
+                      float(hs['np_cached_gaussian'])))
+    if sampler is not None and 'sampler_perm' in hs:
+        sampler.set_state({'perm': np.asarray(hs['sampler_perm']),
+                           'pos': int(hs['sampler_pos'])})
+    return hs.get('host_key')

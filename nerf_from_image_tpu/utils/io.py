@@ -84,7 +84,10 @@ class EndlessSampler:
     def set_state(self, state):
         self._perm = np.asarray(state['perm'])
         self._pos = int(state['pos'])
-        self.rng.set_state(state['rng'])
+        # 'rng' is optional: checkpoint.apply_host_state restores the
+        # (shared) RandomState separately from the packed npz.
+        if 'rng' in state:
+            self.rng.set_state(state['rng'])
 
 
 def get_color_palette(n: int) -> np.ndarray:
