@@ -85,6 +85,11 @@ def parse_args(argv=None):
                         'devices on one data axis)')
     parser.add_argument('--compute_dtype', type=str, default='bfloat16',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--multihost', action='store_true',
+                        help='call jax.distributed.initialize() at startup '
+                        '(multi-host pod runs; coordinator from the '
+                        'standard JAX env). Writers/checkpoints then run '
+                        'on process 0 only.')
     parser.add_argument('--profile_trace_at', type=int, default=0,
                         help='capture a jax.profiler trace around this '
                              'training iteration (0 = disabled); written '

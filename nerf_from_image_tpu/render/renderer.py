@@ -51,12 +51,27 @@ def render(
     compute_semantics: bool = False,
     compute_coords: bool = False,
     force_no_cam_grad: bool = False,
+    ray_sharding=None,
 ) -> RenderOutput:
-    """Renders a batch of views. `rng=None` -> deterministic sampling."""
+    """Renders a batch of views. `rng=None` -> deterministic sampling.
+
+    `ray_sharding`: optional NamedSharding for the (B, H, W, 3) ray
+    tensors (e.g. parallel.ray_spec(mesh) with a 'rays' mesh axis).
+    Rays are embarrassingly parallel (SURVEY §5): annotating them here
+    makes GSPMD shard the whole per-ray compute — sampling, field
+    evaluation, compositing — across devices, with only the output
+    gather as communication. Use for large single-image eval/demo
+    renders where the batch axis alone cannot fill the mesh.
+    """
     b = cam2world.shape[0]
     ray_origins, ray_directions = rays_lib.get_ray_bundle(
         height, width, focal_length, cam2world, bbox, center)
     ray_directions = normalize(ray_directions)
+    if ray_sharding is not None:
+        ray_origins = jax.lax.with_sharding_constraint(ray_origins,
+                                                       ray_sharding)
+        ray_directions = jax.lax.with_sharding_constraint(ray_directions,
+                                                          ray_sharding)
 
     near, far = rays_lib.compute_near_far_planes(
         jax.lax.stop_gradient(ray_origins),
