@@ -51,6 +51,69 @@ def build_eval_indices(split, n_images_fid_max, views_per_object,
     split.eval_indices_perm = compute_view_perm(idx, views_per_object, rng)
 
 
+def select_inversion_targets(dataset_name, dataset_config, use_testset,
+                             export_demo, train_split, train_eval_split,
+                             split, sel, sel_perm):
+    """Per-batch target selection (run.py:1874-1958). Two protocols:
+
+    - testset: optimize AND evaluate on cropped test images (eval
+      center/bbox None: the pose regressor is always in use,
+      run.py:1746, 1906-1910); novel-view cameras come from the test
+      split (p3d: train_eval, whose pose distribution stands in for the
+      unavailable test poses, run.py:1895-1905).
+    - train split: optimize on UNCROPPED train_split images (demo mode:
+      cropped train_eval, run.py:1921-1926); evaluate the render with
+      train_eval's bbox/center against the cropped train_eval image
+      (ortho/CUB: uncropped train image, run.py:1928-1934); novel-view
+      cameras and random-view targets come from train_eval.
+    """
+    vpo = dataset_config['views_per_object']
+    if use_testset:
+        target_img = split.images[sel]
+        target_img_fid = target_img
+        gt_cam2world = split.tform_cam2world[sel]
+        target_center_fid = target_bbox_fid = None
+        perm_split = (train_eval_split if 'p3d' in dataset_name else split)
+        vpo_eff = dataset_config['views_per_object_test']
+        target_img_random = (split.images[sel_perm] if vpo_eff > 1
+                             else None)
+    else:
+        opt_split = train_eval_split if export_demo else train_split
+        target_img = opt_split.images[sel]
+        if dataset_config['camera_projection_model'] == 'ortho':
+            target_img_fid = train_split.images[sel]  # uncropped
+        else:
+            target_img_fid = train_eval_split.images[sel]  # cropped
+        gt_cam2world = train_split.tform_cam2world[sel]
+        if export_demo:
+            target_center_fid = target_bbox_fid = None
+        else:
+            target_center_fid = (None if train_eval_split.center is None
+                                 else train_eval_split.center[sel])
+            target_bbox_fid = (None if train_eval_split.bbox is None
+                               else train_eval_split.bbox[sel])
+        perm_split = train_eval_split
+        vpo_eff = vpo
+        target_img_random = (train_eval_split.images[sel_perm]
+                             if vpo_eff > 1 else None)
+    perm_cam = perm_split.tform_cam2world[sel_perm]
+    perm_focal = (None if perm_split.focal_length is None
+                  else perm_split.focal_length[sel_perm])
+    perm_center = (None if perm_split.center is None
+                   else perm_split.center[sel_perm])
+    perm_bbox = (None if perm_split.bbox is None
+                 else perm_split.bbox[sel_perm])
+    return {
+        'target_img': target_img,
+        'target_img_fid': target_img_fid,
+        'gt_cam2world': gt_cam2world,
+        'target_center_fid': target_center_fid,
+        'target_bbox_fid': target_bbox_fid,
+        'target_img_random': target_img_random,
+        'perm_cameras': (perm_cam, perm_focal, perm_center, perm_bbox),
+    }
+
+
 def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
                       train_eval_split, test_split, mesh, report_dir,
                       experiment_name):
@@ -73,8 +136,9 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
     if args.inv_manual_input_path:
         batch_size = 1
     else:
-        batch_size = max(args.batch_size // 4, 1) * max(n_devices // 4, 1)
-        batch_size = max(batch_size, n_devices)
+        # Reference: batch_size // 4 * n_gpus (run.py:1757), with the
+        # device count standing in for the GPU count.
+        batch_size = max(args.batch_size // 4, 1) * n_devices
 
     # Config string (run.py:1760-1777).
     if args.dataset == 'p3d_car' and use_testset:
@@ -201,8 +265,9 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
 
     run_scan = None
     if niter > 0:
-        run_scan = jax.jit(lambda p, t, k: inv_opt.run_inversion(
-            gen, gen_vars, lpips, lpips_vars, p, t, inv_cfg, niter, k))
+        run_scan = jax.jit(lambda p, t, k, gt: inv_opt.run_inversion(
+            gen, gen_vars, lpips, lpips_vars, p, t, inv_cfg, niter, k,
+            gt_cam2world=gt))
 
     idx = 0
     key = jax.random.PRNGKey(4321)
@@ -215,49 +280,65 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
             key = jnp.asarray(saved_key)
         if idx:
             print(f'Resumed inversion report at image {idx}')
-    while idx < len(image_indices):
-        t1 = time.time()
-        sel = image_indices[idx:idx + batch_size]
-        sel_perm = image_indices_perm[idx:idx + batch_size]
+    def slice_batch(at):
+        sel = image_indices[at:at + batch_size]
+        sel_perm = image_indices_perm[at:at + batch_size]
         if len(sel) < batch_size:
             # Straggler: pad to batch, mask out extras at report time.
             pad = batch_size - len(sel)
             sel = np.concatenate([sel, sel[-1:].repeat(pad)])
             sel_perm = np.concatenate([sel_perm, sel_perm[-1:].repeat(pad)])
-            valid = len(image_indices) - idx
+            return sel, sel_perm, len(image_indices) - at
+        return sel, sel_perm, batch_size
+
+    def targets_at(at):
+        sel, sel_perm, valid = slice_batch(at)
+        return select_inversion_targets(
+            args.dataset, dataset_config, use_testset,
+            args.inv_export_demo_sample, train_split, train_eval_split,
+            split, sel, sel_perm), valid
+
+    boot = None  # bootstrap result prefetched by the previous iteration
+    while idx < len(image_indices):
+        t1 = time.time()
+        tsel, valid = targets_at(idx)
+        target_img = tsel['target_img']
+        target_img_fid = tsel['target_img_fid']
+        gt_cam2world = tsel['gt_cam2world']
+        target_center_fid = tsel['target_center_fid']
+        target_bbox_fid = tsel['target_bbox_fid']
+        target_img_random = tsel['target_img_random']
+        perm_cam, perm_focal, perm_center, perm_bbox = tsel['perm_cameras']
+
+        # Bootstrap: encoder (device) + PnP (host). Usually prefetched by
+        # the previous iteration so the PnP overlapped that batch's scan.
+        if boot is None:
+            coords, mask, z_init, cam2world, focal, _ = \
+                pipe.bootstrap_batch(
+                    encoder, enc_params, target_img, focal_guesses,
+                    jnp.asarray(z_avg), float(lr_gain_z),
+                    args.inv_no_split, encoder_apply)
         else:
-            valid = batch_size
-
-        target_img = split.images[sel]
-        target_img_fid = target_img
-        gt_cam2world = split.tform_cam2world[sel]
-
-        perm_split = (train_eval_split
-                      if use_testset and 'p3d' in args.dataset
-                      else split)
-        perm_cam = perm_split.tform_cam2world[sel_perm]
-        perm_focal = (None if perm_split.focal_length is None
-                      else perm_split.focal_length[sel_perm])
-        perm_center = None
-        perm_bbox = (None if perm_split.bbox is None
-                     else perm_split.bbox[sel_perm])
-        target_img_random = (perm_split.images[sel_perm]
-                             if (use_testset and dataset_config[
-                                 'views_per_object_test'] or
-                                 not use_testset and vpo) else None)
-
-        # Bootstrap: encoder + PnP (host) -------------------------------
-        coords, mask, z_init, cam2world, focal, _ = pipe.bootstrap_batch(
-            encoder, enc_params, target_img, focal_guesses,
-            jnp.asarray(z_avg), float(lr_gain_z), args.inv_no_split,
-            encoder_apply)
+            coords, mask, z_init, cam2world, focal, _ = boot
+            boot = None
         params = pipe.init_inversion_params(
             z_init, cam2world, focal, dataset_config['camera_flipped'])
 
+        # Dispatch the NEXT batch's encoder forward BEFORE this batch's
+        # device-heavy work: the device finishes it first, so the host
+        # PnP below can run while the refinement scan executes
+        # (SURVEY §7.3.5 overlap).
+        enc_out_next = None
+        if (idx + valid < len(image_indices) and
+                not args.inv_export_demo_sample):
+            ntsel, _ = targets_at(idx + valid)
+            enc_out_next = pipe.bootstrap_dispatch(
+                encoder_apply, enc_params, ntsel['target_img'])
+
         if 0 in report:
             pipe.evaluate_checkpoint(
-                ctx, inv_cfg, params, report[0], target_img_fid, None, None,
-                gt_cam2world,
+                ctx, inv_cfg, params, report[0], target_img_fid,
+                target_center_fid, target_bbox_fid, gt_cam2world,
                 perm_cameras=(perm_cam, perm_focal, perm_center, perm_bbox),
                 target_img_random=target_img_random,
                 compute_rot_error=not (args.dataset == 'p3d_car' and
@@ -266,16 +347,48 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
 
         if niter > 0:
             key, sub = jax.random.split(key)
+            first_batch = (idx == 0)
+            # Async dispatch: the scan occupies the device while the
+            # next batch's PnP runs on the host just below.
             params, scan_metrics = run_scan(
-                params, jnp.asarray(target_img[..., :3]), sub)
+                params, jnp.asarray(target_img[..., :3]), sub,
+                jnp.asarray(gt_cam2world))
+            if enc_out_next is not None:
+                boot = pipe.bootstrap_finish(
+                    enc_out_next, focal_guesses, jnp.asarray(z_avg),
+                    float(lr_gain_z), args.inv_no_split)
+                enc_out_next = None
+            if first_batch:
+                # First-batch per-step telemetry, reference tag names
+                # (run.py:2288-2306) plus per-param grad norms.
+                sm = {k: np.asarray(v) for k, v in scan_metrics.items()}
+                for it in range(niter):
+                    writer.add_scalar('monitor_b0/psnr',
+                                      float(sm['psnr'][it]), it)
+                    writer.add_scalar('monitor_b0/lpips',
+                                      float(sm['lpips'][it]), it)
+                    if 'rot_error' in sm:
+                        writer.add_scalar('monitor_b0/rot_error',
+                                          float(sm['rot_error'][it]), it)
+                    for pname in ('z', 'f', 'R', 's', 't'):
+                        gkey = f'grad_norm_{pname}'
+                        if gkey in sm:
+                            writer.add_scalar(f'monitor_b0/{gkey}',
+                                              float(sm[gkey][it]), it)
             pipe.evaluate_checkpoint(
-                ctx, inv_cfg, params, report[niter], target_img_fid, None,
-                None, gt_cam2world,
+                ctx, inv_cfg, params, report[niter], target_img_fid,
+                target_center_fid, target_bbox_fid, gt_cam2world,
                 perm_cameras=(perm_cam, perm_focal, perm_center, perm_bbox),
                 target_img_random=target_img_random,
                 compute_rot_error=not (args.dataset == 'p3d_car' and
                                        use_testset),
                 valid=valid)
+
+        if enc_out_next is not None:
+            # niter == 0 path: finish the prefetch before moving on.
+            boot = pipe.bootstrap_finish(
+                enc_out_next, focal_guesses, jnp.asarray(z_avg),
+                float(lr_gain_z), args.inv_no_split)
 
         t2 = time.time()
         idx += valid
@@ -284,7 +397,7 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
 
         if args.inv_export_demo_sample:
             export_demo(args, ctx, inv_cfg, params, target_img, coords,
-                        mask, dataset_config, niter)
+                        mask, dataset_config, niter, mesh=mesh)
             break
 
         if idx % 512 == 0 and not args.inv_export_demo_sample:
@@ -295,7 +408,7 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
         report, report_str = pipe.consolidate_report(
             report, train_eval_split.fid_stats,
             test_split.fid_stats if use_testset and test_split is not None
-            else None)
+            else None, writer=writer)
         print(report_str)
         pipe.save_report(report, report_str, report_dir_eff,
                          header=f'{args.resume_from}\n{cfg_string}')
@@ -341,7 +454,7 @@ def load_inception_apply(args):
 
 
 def export_demo(args, ctx, inv_cfg, params, target_img, coords, mask,
-                dataset_config, it):
+                dataset_config, it, mesh=None):
     """Exports the side-by-side demo strip
     [input | coords | recon | normals | novel view] (run.py:2058-2159)."""
     import jax
@@ -349,10 +462,17 @@ def export_demo(args, ctx, inv_cfg, params, target_img, coords, mask,
     import numpy as np
     from nerf_from_image_tpu.core import pose as pose_utils
     from nerf_from_image_tpu.invert import optimizer as inv_opt
+    from nerf_from_image_tpu.parallel import mesh as mesh_lib
+
+    # Demo renders are batch-1: with a 'rays' mesh axis
+    # (--mesh_shape data:1,rays:N) the image rows are sharded instead.
+    ray_sharding = (mesh_lib.ray_spec(mesh)
+                    if mesh is not None and 'rays' in mesh.axis_names
+                    else None)
 
     out, cam, focal = inv_opt.render_from_params(
         ctx.gen, ctx.gen_vars, params, inv_cfg,
-        compute_normals=args.use_sdf)
+        compute_normals=args.use_sdf, ray_sharding=ray_sharding)
     recon = np.asarray(jnp.clip(out.rgb, -1, 1))
 
     strips = [np.asarray(target_img)[..., :3]]
@@ -376,7 +496,8 @@ def export_demo(args, ctx, inv_cfg, params, target_img, coords, mask,
                       [0, 0, 0, 1]], np.float32)
     cam_novel = jnp.asarray(rot)[None] @ cam
     out_novel, _, _ = inv_opt.render_from_params(
-        ctx.gen, ctx.gen_vars, params, inv_cfg, override_cam=cam_novel)
+        ctx.gen, ctx.gen_vars, params, inv_cfg, override_cam=cam_novel,
+        ray_sharding=ray_sharding)
     strips.append(np.asarray(jnp.clip(out_novel.rgb, -1, 1)))
     strip = np.concatenate(strips, axis=2) / 2 + 0.5
 

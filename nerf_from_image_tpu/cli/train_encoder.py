@@ -61,6 +61,9 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
             batch['focal'] = jnp.asarray(train_split.focal_length[idx])
         if train_split.bbox is not None:
             batch['bbox'] = jnp.asarray(train_split.bbox[idx])
+        if train_split.center is not None:
+            # SRN principal point threads into ray-gen (run.py:1627, 1642).
+            batch['center'] = jnp.asarray(train_split.center[idx])
         batch = mesh_lib.shard_batch(batch, mesh)
         state, metrics = step(state, batch)
         i += 1

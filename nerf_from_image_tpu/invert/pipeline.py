@@ -50,20 +50,27 @@ def make_report(checkpoint_steps) -> Dict[int, Dict[str, list]]:
     }
 
 
-def bootstrap_batch(encoder: BootstrapEncoder, enc_params, target_img,
-                    focal_guesses, z_avg, lr_gain_z: float,
-                    inv_no_split: bool, encoder_apply=None):
-    """Encoder forward + PnP pose (run.py:1959-1984)."""
+def bootstrap_dispatch(encoder_apply, enc_params, target_img):
+    """Device half of the bootstrap: dispatches the encoder forward
+    asynchronously and returns the (coords, mask, w) device arrays
+    WITHOUT blocking. Dispatch this for batch i+1 BEFORE the heavy
+    device work of batch i so `bootstrap_finish`'s host PnP overlaps the
+    refinement scan (SURVEY §7.3.5)."""
     img_nchw = jnp.asarray(target_img)[..., :3].transpose(0, 3, 1, 2)
-    if encoder_apply is None:
-        encoder_apply = jax.jit(
-            lambda p, x: encoder.apply(p, x, deterministic=True))
-    coords, mask, w = encoder_apply(enc_params, img_nchw)
+    return encoder_apply(enc_params, img_nchw)
 
+
+def bootstrap_finish(enc_out, focal_guesses, z_avg, lr_gain_z: float,
+                     inv_no_split: bool):
+    """Host half: blocks on the encoder output only (not on any device
+    work dispatched after it), then runs native PnP on CPU."""
+    coords, mask, w = enc_out
+    coords = np.asarray(coords)
+    mask = np.asarray(mask)
     cam2world, focal, errors = pnp.estimate_poses_batch(
-        np.asarray(coords), np.asarray(mask), focal_guesses)
+        coords, mask, focal_guesses)
 
-    bs = img_nchw.shape[0]
+    bs = coords.shape[0]
     z_init = jnp.broadcast_to(z_avg, (bs,) + z_avg.shape[1:])
     z_init = jnp.asarray(w) + 0.0 * z_init[:, :1]  # encoder w overrides
     if not inv_no_split:
@@ -71,8 +78,19 @@ def bootstrap_batch(encoder: BootstrapEncoder, enc_params, target_img,
         z_init = jnp.broadcast_to(z_init, (bs, z_avg.shape[1],
                                            z_init.shape[-1]))
     z_init = z_init / lr_gain_z
-    return (np.asarray(coords), np.asarray(mask), z_init, cam2world, focal,
-            errors)
+    return coords, mask, z_init, cam2world, focal, errors
+
+
+def bootstrap_batch(encoder: BootstrapEncoder, enc_params, target_img,
+                    focal_guesses, z_avg, lr_gain_z: float,
+                    inv_no_split: bool, encoder_apply=None):
+    """Encoder forward + PnP pose (run.py:1959-1984), synchronous."""
+    if encoder_apply is None:
+        encoder_apply = jax.jit(
+            lambda p, x: encoder.apply(p, x, deterministic=True))
+    enc_out = bootstrap_dispatch(encoder_apply, enc_params, target_img)
+    return bootstrap_finish(enc_out, focal_guesses, z_avg, lr_gain_z,
+                            inv_no_split)
 
 
 def init_inversion_params(z_init, cam2world, focal, camera_flipped: bool
@@ -96,6 +114,64 @@ class EvalContext:
     has_mask: bool
     scene_range: float
     attention_values: int
+    # Cache of jitted eval-render executables keyed by (kind, cfg,
+    # operand presence): the two bookend renders per batch previously
+    # ran eagerly and were dispatch-bound on TPU (VERDICT r1 weak #6).
+    jit_cache: dict = dataclasses.field(default_factory=dict)
+
+
+def _jit_front_render(ctx: EvalContext, cfg, has_center: bool,
+                      has_bbox: bool):
+    key = ('front', cfg, has_center, has_bbox)
+    fn = ctx.jit_cache.get(key)
+    if fn is None:
+        def fwd(gen_vars, params, center, bbox):
+            return inv_opt.render_from_params(ctx.gen, gen_vars, params,
+                                              cfg, center=center, bbox=bbox)
+
+        if has_center and has_bbox:
+            fn = jax.jit(fwd)
+        elif has_center:
+            fn = jax.jit(lambda v, p, c: fwd(v, p, c, None))
+        elif has_bbox:
+            fn = jax.jit(lambda v, p, b: fwd(v, p, None, b))
+        else:
+            fn = jax.jit(lambda v, p: fwd(v, p, None, None))
+        ctx.jit_cache[key] = fn
+    return fn
+
+
+def _jit_perm_render(ctx: EvalContext, cfg, has_focal: bool,
+                     has_center: bool, has_bbox: bool):
+    key = ('perm', cfg, has_focal, has_center, has_bbox)
+    fn = ctx.jit_cache.get(key)
+    if fn is None:
+        from nerf_from_image_tpu.render import render
+
+        def fwd(gen_vars, ws, cam, focal, center, bbox):
+            state = ctx.gen.apply(gen_vars, ws,
+                                  method=Generator.synthesize)
+
+            def sample_fn(pts, reqs):
+                return ctx.gen.apply(gen_vars, state, pts, reqs,
+                                     method=Generator.sample)
+
+            return render(sample_fn, cfg.resolution, cfg.resolution, cam,
+                          focal, center, bbox, cfg.scene_range,
+                          cfg.white_background,
+                          cfg.depth_samples_per_ray * cfg.ray_multiplier,
+                          rng=None, fine_sampling=cfg.fine_sampling)
+
+        def wrap(v, ws, cam, *opt):
+            it = iter(opt)
+            focal = next(it) if has_focal else None
+            center = next(it) if has_center else None
+            bbox = next(it) if has_bbox else None
+            return fwd(v, ws, cam, focal, center, bbox)
+
+        fn = jax.jit(wrap)
+        ctx.jit_cache[key] = fn
+    return fn
 
 
 def evaluate_checkpoint(ctx: EvalContext, cfg: inv_opt.InversionConfig,
@@ -122,9 +198,12 @@ def evaluate_checkpoint(ctx: EvalContext, cfg: inv_opt.InversionConfig,
     app('s', params.s)
     app('t2', params.t2)
 
-    out, cam, focal = inv_opt.render_from_params(
-        ctx.gen, ctx.gen_vars, params, cfg, center=target_center_fid,
-        bbox=target_bbox_fid)
+    fn = _jit_front_render(ctx, cfg, target_center_fid is not None,
+                           target_bbox_fid is not None)
+    fargs = [a for a in (target_center_fid, target_bbox_fid)
+             if a is not None]
+    out, cam, focal = fn(ctx.gen_vars, params,
+                         *(jnp.asarray(a) for a in fargs))
     pred = np.asarray(jnp.clip(out.rgb, -1, 1)).transpose(0, 3, 1, 2)
     target = np.asarray(target_img_fid).transpose(0, 3, 1, 2)
 
@@ -155,23 +234,13 @@ def evaluate_checkpoint(ctx: EvalContext, cfg: inv_opt.InversionConfig,
         if ws.shape[1] == 1:
             num_ws = 14 + (1 if ctx.gen.attention_values > 0 else 0)
             ws = jnp.broadcast_to(ws, (ws.shape[0], num_ws, ws.shape[-1]))
-        state = ctx.gen.apply(ctx.gen_vars, ws, method=Generator.synthesize)
-
-        def sample_fn(pts, reqs):
-            return ctx.gen.apply(ctx.gen_vars, state, pts, reqs,
-                                 method=Generator.sample)
-
-        from nerf_from_image_tpu.render import render
-        out_r = render(sample_fn, cfg.resolution, cfg.resolution,
-                       jnp.asarray(perm_cam),
-                       None if perm_focal is None else jnp.asarray(
-                           perm_focal),
-                       None if perm_center is None else jnp.asarray(
-                           perm_center),
-                       None if perm_bbox is None else jnp.asarray(perm_bbox),
-                       cfg.scene_range, cfg.white_background,
-                       cfg.depth_samples_per_ray * cfg.ray_multiplier,
-                       rng=None, fine_sampling=cfg.fine_sampling)
+        fn_r = _jit_perm_render(ctx, cfg, perm_focal is not None,
+                                perm_center is not None,
+                                perm_bbox is not None)
+        opt_args = [jnp.asarray(a)
+                    for a in (perm_focal, perm_center, perm_bbox)
+                    if a is not None]
+        out_r = fn_r(ctx.gen_vars, ws, jnp.asarray(perm_cam), *opt_args)
         pred_r = np.asarray(jnp.clip(out_r.rgb, -1, 1)).transpose(0, 3, 1, 2)
         pred_r01 = pred_r[:, :3] / 2 + 0.5
         if target_img_random is not None:
@@ -189,8 +258,11 @@ def evaluate_checkpoint(ctx: EvalContext, cfg: inv_opt.InversionConfig,
                 ctx.inception_apply(jnp.asarray(pred_r01)))
 
 
-def consolidate_report(report, train_fid_stats=None, test_fid_stats=None):
-    """Final aggregation (run.py:2338-2396). Returns (report, report_str)."""
+def consolidate_report(report, train_fid_stats=None, test_fid_stats=None,
+                       writer=None):
+    """Final aggregation (run.py:2338-2396). Returns (report, report_str).
+    When `writer` is given, the means are also logged under the
+    reference's report/* tags (run.py:2366, 2379-2386)."""
     report_str_full = ''
     for iter_num, entry in report.items():
         for k in list(entry.keys()):
@@ -205,6 +277,8 @@ def consolidate_report(report, train_fid_stats=None, test_fid_stats=None):
                 val = float(np.mean(entry[elem]))
                 report_str += f' {elem} {val:.05f}'
                 entry[f'{elem}_avg'] = val
+                if writer is not None:
+                    writer.add_scalar(f'report/{elem}', val, iter_num)
 
         def add_fid(src_key, dst_key):
             nonlocal report_str
@@ -216,11 +290,16 @@ def consolidate_report(report, train_fid_stats=None, test_fid_stats=None):
                                                      *train_fid_stats)
             entry[dst_key] = val
             report_str += f' {dst_key} {val:.02f}'
+            if writer is not None:
+                writer.add_scalar(f'report/{dst_key}', val, iter_num)
             if test_fid_stats is not None:
                 val_t = fid_lib.calculate_frechet_distance(*stats,
                                                            *test_fid_stats)
                 entry[dst_key + '_test'] = val_t
                 report_str += f' {dst_key}_test {val_t:.02f}'
+                if writer is not None:
+                    writer.add_scalar(f'report/{dst_key}_test', val_t,
+                                      iter_num)
             del entry[src_key]
 
         add_fid('inception_activations_front', 'fid_front')

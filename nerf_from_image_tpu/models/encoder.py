@@ -25,23 +25,37 @@ class BootstrapEncoder(nn.Module):
     latent_regressor: bool = True
     separate_backbones: bool = False
     dtype: Dtype = jnp.float32
+    # Backbone size (default: MiT-B5, the reference's init_segformer).
+    # Overridable so tests can exercise the full distillation pipeline
+    # with a tiny backbone.
+    depths: Tuple[int, ...] = (3, 6, 40, 3)
+    embed_dims: Tuple[int, ...] = (64, 128, 320, 512)
+    num_heads: Tuple[int, ...] = (1, 2, 5, 8)
+    head_width: int = 512
+
+    def _backbone(self, name):
+        return Segformer(out_features=self.head_width, dtype=self.dtype,
+                         depths=self.depths, embed_dims=self.embed_dims,
+                         num_heads=self.num_heads,
+                         decoder_dim=768 if self.head_width == 512
+                         else 2 * self.head_width,
+                         name=name)
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         """x: (B, 3, H, W) in [-1, 1]. Returns (coords (B,H,W,3),
         mask (B,H,W), w (B,1,latent_dim)); None for disabled heads."""
-        features = Segformer(out_features=512, dtype=self.dtype,
-                             name='backbone')(x, deterministic)
+        features = self._backbone('backbone')(x, deterministic)
 
         coords = segmentation = w = None
         if self.pose_regressor:
             f = features.transpose(0, 2, 3, 1)  # NHWC
             f = _bilinear_resize(f, f.shape[1] * 4, f.shape[2] * 4)
             f = nn.relu(f)
-            f = nn.relu(nn.Conv(512, (3, 3), padding=1, dtype=self.dtype,
-                                name='post0')(f))
-            f = nn.relu(nn.Conv(512, (3, 3), padding=1, dtype=self.dtype,
-                                name='post1')(f))
+            f = nn.relu(nn.Conv(self.head_width, (3, 3), padding=1,
+                                dtype=self.dtype, name='post0')(f))
+            f = nn.relu(nn.Conv(self.head_width, (3, 3), padding=1,
+                                dtype=self.dtype, name='post1')(f))
             maps = nn.Conv(4, (3, 3), padding=1, dtype=self.dtype,
                            name='post2')(f)
             coords = maps[..., :3].astype(jnp.float32)
@@ -49,17 +63,16 @@ class BootstrapEncoder(nn.Module):
 
         if self.latent_regressor:
             if self.separate_backbones:
-                features_latent = Segformer(out_features=512,
-                                            dtype=self.dtype,
-                                            name='backbone_latent')(
-                                                x, deterministic)
+                features_latent = self._backbone('backbone_latent')(
+                    x, deterministic)
             else:
                 features_latent = features
             fl = nn.relu(features_latent.transpose(0, 2, 3, 1))
-            fl = nn.relu(nn.Conv(512, (3, 3), padding=1, dtype=self.dtype,
-                                 name='w_pre')(fl))
+            fl = nn.relu(nn.Conv(self.head_width, (3, 3), padding=1,
+                                 dtype=self.dtype, name='w_pre')(fl))
             fl = jnp.mean(fl, axis=(1, 2))
-            fl = nn.relu(nn.Dense(512, dtype=self.dtype, name='w_post0')(fl))
+            fl = nn.relu(nn.Dense(self.head_width, dtype=self.dtype,
+                                  name='w_post0')(fl))
             fl = nn.Dense(self.latent_dim, dtype=self.dtype,
                           name='w_post1')(fl)
             w = nn.leaky_relu(fl, 0.2)[:, None, :].astype(jnp.float32)
