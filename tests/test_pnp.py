@@ -149,3 +149,31 @@ def test_sqpnp_chain_matches_opencv_sqpnp():
         return np.mean(np.linalg.norm(pr - pts_uv, axis=1))
 
     assert mean_err(R_est, t_est) <= mean_err(R_cv, t_cv) * 1.02
+
+
+def test_pnp_matches_opencv_golden():
+    """Hermetic version of the OpenCV cross-checks: cv2's answers for the
+    same two problems were recorded to tests/golden/pnp_opencv_golden.npz
+    (OpenCV 5.0.0, scripts in the npz-producing snippet of r2), so this
+    runs even where cv2 is not installed."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), 'golden',
+                        'pnp_opencv_golden.npz')
+    g = np.load(path)
+    flip = np.diag([1.0, -1.0, -1.0])
+
+    # Exact problem vs EPnP.
+    w2c, focal, err = pnp.compute_pose_pnp(g['epnp_coords'],
+                                           g['epnp_mask'], [2.0])
+    np.testing.assert_allclose(flip @ w2c[0, :3, :3], g['epnp_R'],
+                               atol=1e-2)
+    np.testing.assert_allclose(flip @ w2c[0, :3, 3], g['epnp_t'],
+                               atol=5e-2)
+
+    # Noisy problem vs SQPnP + iterative refine.
+    w2c, focal, err = pnp.compute_pose_pnp(g['sqpnp_coords'],
+                                           g['sqpnp_mask'], [1.6])
+    np.testing.assert_allclose(flip @ w2c[0, :3, :3], g['sqpnp_R'],
+                               atol=2e-2)
+    np.testing.assert_allclose(flip @ w2c[0, :3, 3], g['sqpnp_t'],
+                               atol=5e-2)
