@@ -69,6 +69,12 @@ class ResidualEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Four stride-2 pools: below 16px the spatial dims collapse to
+        # 0x0 and the final mean silently returns NaN.
+        if x.shape[2] < 16 or x.shape[3] < 16:
+            raise ValueError(
+                f'ResidualEncoder needs input resolution >= 16, got '
+                f'{x.shape[2]}x{x.shape[3]}')
         scale = math.sqrt(2.0) / 2.0
         relu = lambda v: nn.leaky_relu(v, 0.2)
 
