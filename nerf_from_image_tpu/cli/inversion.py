@@ -227,7 +227,9 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
         camera_flipped=dataset_config['camera_flipped'],
         lr_gain_z=float(lr_gain_z),
         loss_type=args.inv_loss,
-        optimize_pose=not args.inv_no_optimize_pose)
+        optimize_pose=not args.inv_no_optimize_pose,
+        use_pallas_warp=(args.use_pallas and args.resolution % 16 == 0
+                         and jax.default_backend() == 'tpu'))
 
     lpips = LPIPS()
     lpips_vars = load_lpips_vars(args, lpips)

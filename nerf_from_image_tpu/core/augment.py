@@ -95,6 +95,20 @@ def _affine_grid(mat: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.einsum('bij,hwj->bhwi', mat, base)
 
 
+def image_warp_grid(tform: AffineTransform, h: int, w: int) -> jnp.ndarray:
+    """The image-warp sampling grid (B, h, w, 2) for a transform —
+    the exact grid `augment_impl` samples the image with (scale applied
+    multiplicatively, translation rotated back through the rotation
+    block, run.py:752-756). Exposed so alternate sampling backends (the
+    windowed Pallas warp) share one source of truth for the geometry."""
+    mat = _affine_mat(tform)
+    scale = tform.scale
+    mat_scaled = mat * scale[:, None, None]
+    t_rot = jnp.einsum('bij,bj->bi', mat[:, :2, :2], mat_scaled[:, :, 2])
+    mat_scaled = mat_scaled.at[:, :, 2].set(t_rot)
+    return _affine_grid(mat_scaled, h, w)
+
+
 def augment_impl(
     img: Optional[jnp.ndarray],
     pose: Optional[jnp.ndarray],
@@ -106,13 +120,7 @@ def augment_impl(
     mat = _affine_mat(tform)
     img_out = None
     if img is not None:
-        scale = tform.scale
-        mat_scaled = mat * scale[:, None, None]
-        # Rotate the (already scaled) translation column back through the
-        # rotation block (run.py:752-756).
-        t_rot = jnp.einsum('bij,bj->bi', mat[:, :2, :2], mat_scaled[:, :, 2])
-        mat_scaled = mat_scaled.at[:, :, 2].set(t_rot)
-        grid = _affine_grid(mat_scaled, img.shape[-2], img.shape[-1])
+        grid = image_warp_grid(tform, img.shape[-2], img.shape[-1])
         if white_background:
             img = img - 1.0
         img_out = _grid_sample_zeros(img, grid)

@@ -55,6 +55,11 @@ class InversionConfig:
     num_augmentations: int = 15
     optimize_pose: bool = True
     lr: float = 2e-3
+    # Route the 15-crop LPIPS augment through the windowed Pallas warp
+    # (ops/pallas/warp.py) instead of XLA gather/scatter. Same sampled
+    # transforms; crop values are bf16-rounded. Set where the generator
+    # itself runs the pallas sampler (TPU).
+    use_pallas_warp: bool = False
 
 
 def make_camera(params: InversionParams, camera_flipped: bool):
@@ -104,26 +109,50 @@ def inversion_loss(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
         n_aug = 0 if cfg.loss_type == 'vgg_nocrop' else cfg.num_augmentations
         if n_aug > 0:
             b = pred.shape[0]
-            # Two augment calls with the SAME rng (identical sampled
-            # transforms) instead of one 6-channel call: the target copy
-            # is fully stop-gradient'd, so its warp backward — an
-            # XLA scatter, by far the most expensive op in the step — is
-            # dead-code-eliminated. Measured: halves the ~520 ms/step
-            # augment backward.
-            pred_rep = jnp.repeat(pred_nchw, n_aug, axis=0)
-            target_rep = jax.lax.stop_gradient(
-                jnp.repeat(target_nchw, n_aug, axis=0))
-            pred_aug, _, _, tform = augment_lib.augment(
-                rng, pred_rep, None, None, 1.0,
-                white_background=cfg.white_background)
-            # Reuse the first call's sampled transform explicitly so
-            # pred/target warps stay aligned even if transform sampling
-            # ever becomes input-dependent (ADVICE r1).
-            target_aug, _, _, _ = augment_lib.augment(
-                rng, target_rep, None, None, 1.0,
-                white_background=cfg.white_background,
-                cached_tform=tform)
-            target_aug = jax.lax.stop_gradient(target_aug)
+            h, w = pred.shape[1], pred.shape[2]
+            if cfg.use_pallas_warp:
+                # TPU path: one 6-channel windowed-kernel warp (MXU
+                # one-hot bilinear) for pred+target. The grid is data,
+                # so the backward is the kernel's planes-only window
+                # scatter-accumulate — no XLA scatter (index-bound,
+                # ~260 ms/step at batch 8). Same sampled transforms as
+                # the XLA path (identical sample_transform call).
+                from nerf_from_image_tpu.ops.pallas import warp as warp_lib
+                tform = augment_lib.sample_transform(rng, b * n_aug, 1.0)
+                grid = augment_lib.image_warp_grid(tform, h, w).reshape(
+                    b, n_aug, h, w, 2)
+                stacked = jnp.concatenate(
+                    (pred_nchw, jax.lax.stop_gradient(target_nchw)),
+                    axis=1)
+                if cfg.white_background:
+                    stacked = stacked - 1.0
+                out = warp_lib.grid_sample_zeros_windowed(stacked, grid)
+                if cfg.white_background:
+                    out = out + 1.0
+                pred_aug = out[:, :, :3].reshape(b * n_aug, 3, h, w)
+                target_aug = jax.lax.stop_gradient(
+                    out[:, :, 3:].reshape(b * n_aug, 3, h, w))
+            else:
+                # Two augment calls with the SAME rng (identical sampled
+                # transforms) instead of one 6-channel call: the target
+                # copy is fully stop-gradient'd, so its warp backward —
+                # an XLA scatter, by far the most expensive op in the
+                # step — is dead-code-eliminated. Measured: halves the
+                # ~520 ms/step augment backward.
+                pred_rep = jnp.repeat(pred_nchw, n_aug, axis=0)
+                target_rep = jax.lax.stop_gradient(
+                    jnp.repeat(target_nchw, n_aug, axis=0))
+                pred_aug, _, _, tform = augment_lib.augment(
+                    rng, pred_rep, None, None, 1.0,
+                    white_background=cfg.white_background)
+                # Reuse the first call's sampled transform explicitly so
+                # pred/target warps stay aligned even if transform
+                # sampling ever becomes input-dependent (ADVICE r1).
+                target_aug, _, _, _ = augment_lib.augment(
+                    rng, target_rep, None, None, 1.0,
+                    white_background=cfg.white_background,
+                    cached_tform=tform)
+                target_aug = jax.lax.stop_gradient(target_aug)
             pred_all = jnp.concatenate((pred_nchw, pred_aug), axis=0)
             target_all = jnp.concatenate((target_nchw, target_aug), axis=0)
         else:

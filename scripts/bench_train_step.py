@@ -1,0 +1,80 @@
+"""Times the jitted G/D train steps at the flagship operating point
+(128^2, batch N, 64+64 samples, bf16, pallas sampler) on the real chip.
+
+Usage: python scripts/bench_train_step.py [batch] [--remat-tail]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from nerf_from_image_tpu.train import gan as gan_lib
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    cfg = gan_lib.GANConfig(resolution=128, latent_dim=512,
+                            depth_samples_per_ray=64, fine_sampling=True,
+                            attention_values=4, batch_size=batch,
+                            plane_resolution=256, use_pallas=True,
+                            path_length_regularization=True,
+                            augment_ada=True, augment_p_max=0.8)
+    dtype = jnp.bfloat16
+    gen, disc = gan_lib.make_models(cfg, dtype)
+    opt_g, opt_d = gan_lib.make_optimizers(cfg)
+    state = jax.jit(lambda k: gan_lib.init_train_state(k, cfg))(
+        jax.random.PRNGKey(0))
+
+    def make_batch(key, with_image):
+        pose = jnp.broadcast_to(jnp.eye(4), (batch, 4, 4)).at[:, 2, 3].set(4.0)
+        out = {'pose': pose, 'focal': jnp.full((batch,), 1.2),
+               'z': jax.random.normal(key, (batch, cfg.latent_dim))}
+        if with_image:
+            out['image'] = jax.random.uniform(
+                key, (batch, cfg.resolution, cfg.resolution, 3),
+                minval=-1.0, maxval=1.0)
+        return out
+
+    g_step = jax.jit(lambda s, b: gan_lib.g_step(s, b, gen, disc, opt_g,
+                                                 cfg))
+    d_step = jax.jit(lambda s, br, bf: gan_lib.d_step(
+        s, br, bf, gen, disc, opt_d, cfg, use_r1_now=True,
+        blur_active=True))
+
+    bg = make_batch(jax.random.PRNGKey(1), False)
+    br = make_batch(jax.random.PRNGKey(2), True)
+    bf = make_batch(jax.random.PRNGKey(3), False)
+
+    t0 = time.time()
+    state, mg = g_step(state, bg)
+    jax.block_until_ready(mg)
+    print(f'g_step compile+1: {time.time() - t0:.1f}s')
+    t0 = time.time()
+    state, md = d_step(state, br, bf)
+    jax.block_until_ready(md)
+    print(f'd_step compile+1: {time.time() - t0:.1f}s')
+
+    n = 6
+    t0 = time.time()
+    for _ in range(n):
+        state, mg = g_step(state, bg)
+    jax.block_until_ready(mg)
+    tg = (time.time() - t0) / n
+    t0 = time.time()
+    for _ in range(n):
+        state, md = d_step(state, br, bf)
+    jax.block_until_ready(md)
+    td = (time.time() - t0) / n
+    print(f'batch {batch}: g_step {tg * 1e3:.0f} ms, d_step {td * 1e3:.0f} '
+          f'ms, pair {(tg + td) * 1e3:.0f} ms -> '
+          f'{batch / (tg + td):.2f} im/s/chip (pair accounting), '
+          f'{2 * batch / (tg + td):.2f} im/s/chip (per-iteration)')
+
+
+if __name__ == '__main__':
+    main()
