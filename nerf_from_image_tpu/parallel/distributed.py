@@ -24,17 +24,30 @@ from __future__ import annotations
 _initialized = False
 
 
-def maybe_initialize(args=None) -> None:
-    """Initializes jax.distributed when requested. Safe to call twice."""
+def maybe_initialize(args=None, coordinator_address=None,
+                     num_processes=None, process_id=None) -> None:
+    """Initializes jax.distributed when requested. Safe to call twice.
+
+    Without explicit cluster parameters the coordinator/process identity
+    comes from the TPU runtime / standard JAX env vars. The explicit
+    form exists for multi-process CPU clusters (tests: two processes x 4
+    virtual devices stand in for two hosts of a pod,
+    tests/test_multihost.py)."""
     global _initialized
     if _initialized:
         return
-    want = bool(getattr(args, 'multihost', False)) if args is not None \
-        else False
+    want = (coordinator_address is not None or
+            (bool(getattr(args, 'multihost', False)) if args is not None
+             else False))
     if not want:
         return
     import jax
-    jax.distributed.initialize()
+    if coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    else:
+        jax.distributed.initialize()
     _initialized = True
     print(f'jax.distributed initialized: process '
           f'{jax.process_index()}/{jax.process_count()}, '
