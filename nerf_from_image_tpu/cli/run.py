@@ -139,6 +139,13 @@ def main(argv=None):
         if ckpt_t.get('discriminator') is not None:
             updates['params_d'] = tc.convert_discriminator(
                 {k: tc._np(v) for k, v in ckpt_t['discriminator'].items()})
+        if ckpt_t.get('discriminator2') is not None:
+            updates['params_d2'] = tc.convert_discriminator(
+                {k: tc._np(v) for k, v in ckpt_t['discriminator2'].items()})
+        if ckpt_t.get('best_fid') is not None:
+            # checkpoint_best gating continues from the torch run
+            # (run.py:1493-1495) via the host-state channel below.
+            host_state = {'best_fid': float(ckpt_t['best_fid'])}
         state = state.replace(
             iteration=jnp.asarray(int(ckpt_t.get('iteration', 0)),
                                   jnp.int32),

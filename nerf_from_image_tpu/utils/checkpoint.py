@@ -114,10 +114,14 @@ def pack_host_state(rng_np: np.random.RandomState, sampler=None,
 def apply_host_state(hs: dict, rng_np: np.random.RandomState,
                      sampler=None):
     """Restores rng_np (in place) and the sampler; returns the host key
-    array (or None)."""
-    rng_np.set_state(('MT19937', np.asarray(hs['np_mt_keys'], np.uint32),
-                      int(hs['np_mt_pos']), int(hs['np_has_gauss']),
-                      float(hs['np_cached_gaussian'])))
+    array (or None). Partial host states are allowed (a converted torch
+    checkpoint carries only best_fid — torch RNG state has no numpy
+    equivalent): absent pieces keep their fresh-start values."""
+    if 'np_mt_keys' in hs:
+        rng_np.set_state(('MT19937',
+                          np.asarray(hs['np_mt_keys'], np.uint32),
+                          int(hs['np_mt_pos']), int(hs['np_has_gauss']),
+                          float(hs['np_cached_gaussian'])))
     if sampler is not None and 'sampler_perm' in hs:
         sampler.set_state({'perm': np.asarray(hs['sampler_perm']),
                            'pos': int(hs['sampler_pos'])})
