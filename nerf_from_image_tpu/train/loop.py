@@ -142,8 +142,12 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
             host_key = jnp.asarray(restored_key)
 
     dual = cfg.dual_discriminator
+    # The state is threaded (the old value is dead after each step), so
+    # donating it lets XLA alias the params/optimizer/EMA buffers in
+    # place instead of double-buffering ~GB of state across the update.
     g_step = jax.jit(lambda s, b, b2=None: gan_lib.g_step(
-        s, b, gen, disc, opt_g, cfg, batch2=b2, disc2=disc2))
+        s, b, gen, disc, opt_g, cfg, batch2=b2, disc2=disc2),
+        donate_argnums=0)
     d_steps = {}
     for r1 in (False, True):
         for blur in (False, True):
@@ -152,7 +156,7 @@ def train_gan(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
                 gan_lib.d_step(
                     s, br, bf, gen, disc, opt_d, cfg, use_r1_now=r1,
                     blur_active=blur, batch2=br2, fake_batch2=bf2,
-                    disc2=disc2))
+                    disc2=disc2), donate_argnums=0)
 
     i = int(state.iteration)
     t1 = time.time()

@@ -27,7 +27,11 @@ def main():
     dtype = jnp.bfloat16
     gen, disc = gan_lib.make_models(cfg, dtype)
     opt_g, opt_d = gan_lib.make_optimizers(cfg)
-    state = jax.jit(lambda k: gan_lib.init_train_state(k, cfg))(
+    # dtype threads into init so the plane DMA layout is built bf16 —
+    # without it the windowed sampler silently falls back to the
+    # index-bound XLA gather path (~14x slower).
+    state = jax.jit(lambda k: gan_lib.init_train_state(k, cfg,
+                                                       dtype=dtype))(
         jax.random.PRNGKey(0))
 
     def make_batch(key, with_image):
