@@ -12,6 +12,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def sync(tree):
+    """Value-fetch sync: on the tunnel-attached axon backend,
+    block_until_ready returns before remote execution completes —
+    reducing to a scalar and fetching its bytes is the reliable fence."""
+    np.asarray(sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree_util.tree_leaves(tree)))
 
 
 def main():
@@ -56,23 +65,23 @@ def main():
 
     t0 = time.time()
     state, mg = g_step(state, bg)
-    jax.block_until_ready(mg)
-    print(f'g_step compile+1: {time.time() - t0:.1f}s')
+    sync(mg)
+    print(f'g_step compile+1: {time.time() - t0:.1f}s', flush=True)
     t0 = time.time()
     state, md = d_step(state, br, bf)
-    jax.block_until_ready(md)
-    print(f'd_step compile+1: {time.time() - t0:.1f}s')
+    sync(md)
+    print(f'd_step compile+1: {time.time() - t0:.1f}s', flush=True)
 
     n = 6
     t0 = time.time()
     for _ in range(n):
         state, mg = g_step(state, bg)
-    jax.block_until_ready(mg)
+    sync(mg)
     tg = (time.time() - t0) / n
     t0 = time.time()
     for _ in range(n):
         state, md = d_step(state, br, bf)
-    jax.block_until_ready(md)
+    sync(md)
     td = (time.time() - t0) / n
     print(f'batch {batch}: g_step {tg * 1e3:.0f} ms, d_step {td * 1e3:.0f} '
           f'ms, pair {(tg + td) * 1e3:.0f} ms -> '
