@@ -44,8 +44,10 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
         print('Resumed encoder from iteration', int(state.iteration))
 
     opt = enc_lib.make_optimizer()
+    # State is threaded; donate so params/optimizer update in place.
     step = jax.jit(lambda s, b: enc_lib.train_step(s, b, encoder, gen,
-                                                   gen_vars, opt, cfg))
+                                                   gen_vars, opt, cfg),
+                   donate_argnums=0)
 
     rng_np = np.random.RandomState(1234)
     sampler = EndlessSampler(len(train_split.images), rng_np)
