@@ -1,0 +1,82 @@
+"""Manual-image demo loading (--inv_manual_input_path): alpha-channel
+masks, the GrabCut RGB fallback (reference uses Mask R-CNN,
+lib/utils.py:116-160), bbox extraction, and segment_fn precedence."""
+
+import numpy as np
+import pytest
+
+from nerf_from_image_tpu.cli import demo
+
+
+def _subject_image(h=96, w=96, y0=24, y1=72, x0=30, x1=66):
+    """Dark background, bright textured centered rectangle."""
+    rng = np.random.RandomState(0)
+    img = 0.05 + 0.02 * rng.rand(h, w, 3)
+    img[y0:y1, x0:x1] = 0.7 + 0.25 * rng.rand(y1 - y0, x1 - x0, 3)
+    return img.astype(np.float64)
+
+
+def test_grabcut_foreground_finds_centered_subject():
+    pytest.importorskip('cv2')
+    img = _subject_image()
+    mask = demo.grabcut_foreground(img)
+    assert mask is not None and mask.shape == img.shape[:2]
+    inside = mask[30:66, 36:60]
+    outside = np.concatenate([mask[:18].ravel(), mask[78:].ravel(),
+                              mask[:, :24].ravel(), mask[:, 72:].ravel()])
+    assert inside.mean() > 0.9, inside.mean()
+    assert outside.mean() < 0.1, outside.mean()
+
+
+def test_grabcut_degenerate_returns_none():
+    pytest.importorskip('cv2')
+    # Uniform image: segmentation is degenerate (all fg or all bg).
+    assert demo.grabcut_foreground(np.full((64, 64, 3), 0.5)) is None
+    # Too small to seed.
+    assert demo.grabcut_foreground(np.full((8, 8, 3), 0.5)) is None
+
+
+def test_load_manual_image_alpha_channel(tmp_path):
+    from PIL import Image
+    rgba = np.zeros((40, 40, 4), np.uint8)
+    rgba[..., :3] = 128
+    rgba[10:30, 5:25, 3] = 255  # alpha subject
+    p = tmp_path / 'a.png'
+    Image.fromarray(rgba).save(p)
+    out = demo.load_manual_image(str(p), coco_class_id=2)
+    assert out['image'].shape == (40, 40, 3)
+    assert out['mask'].shape == (40, 40, 1)
+    np.testing.assert_array_equal(
+        np.argwhere(out['mask'][..., 0] > 0.5).min(axis=0), [10, 5])
+    np.testing.assert_allclose(out['bbox'], [5, 10, 24, 29])
+
+
+def test_load_manual_image_segment_fn_precedence(tmp_path):
+    from PIL import Image
+    img = (np.clip(_subject_image(), 0, 1) * 255).astype(np.uint8)
+    p = tmp_path / 'b.png'
+    Image.fromarray(img).save(p)
+    calls = []
+
+    def seg(im, cls):
+        calls.append(cls)
+        m = np.zeros(im.shape[:2])
+        m[2:6, 3:9] = 1.0
+        return m
+
+    out = demo.load_manual_image(str(p), coco_class_id=7, segment_fn=seg)
+    assert calls == [7]
+    np.testing.assert_allclose(out['bbox'], [3, 2, 8, 5])
+
+
+def test_load_manual_image_rgb_uses_grabcut(tmp_path):
+    pytest.importorskip('cv2')
+    from PIL import Image
+    img = (np.clip(_subject_image(), 0, 1) * 255).astype(np.uint8)
+    p = tmp_path / 'c.png'
+    Image.fromarray(img).save(p)
+    out = demo.load_manual_image(str(p), coco_class_id=2)
+    # GrabCut mask -> bbox roughly the subject rectangle.
+    x0, y0, x1, y1 = out['bbox']
+    assert 20 <= x0 <= 36 and 16 <= y0 <= 30
+    assert 60 <= x1 <= 72 and 66 <= y1 <= 78
