@@ -20,6 +20,45 @@ import time
 import numpy as np
 
 
+def convert_reference_checkpoint(ckpt_t: dict, args, state):
+    """Maps a loaded reference .pth checkpoint dict onto the train state
+    (run.py:872-905 restore semantics): G / G-EMA / D / D2 weights via
+    the torch converters, iteration / augment_p / ppl_running_avg into
+    the state, best_fid into a (partial) host state so checkpoint_best
+    gating continues (run.py:1493-1495). Optimizer moments are
+    framework-specific and restart fresh (documented divergence).
+
+    Returns (state, host_state_or_None)."""
+    import jax.numpy as jnp
+
+    from nerf_from_image_tpu.utils import torch_convert as tc
+
+    conv = lambda sd: tc.convert_generator(
+        {k: tc._np(v) for k, v in sd.items()},
+        attention_values=args.attention_values,
+        use_viewdir=args.use_viewdir, use_sdf=args.use_sdf)
+    updates = {}
+    if ckpt_t.get('model') is not None:
+        updates['params_g'] = conv(ckpt_t['model'])
+    updates['ema_params_g'] = conv(ckpt_t['model_ema'])
+    if ckpt_t.get('discriminator') is not None:
+        updates['params_d'] = tc.convert_discriminator(
+            {k: tc._np(v) for k, v in ckpt_t['discriminator'].items()})
+    if ckpt_t.get('discriminator2') is not None:
+        updates['params_d2'] = tc.convert_discriminator(
+            {k: tc._np(v) for k, v in ckpt_t['discriminator2'].items()})
+    host_state = None
+    if ckpt_t.get('best_fid') is not None:
+        host_state = {'best_fid': float(ckpt_t['best_fid'])}
+    state = state.replace(
+        iteration=jnp.asarray(int(ckpt_t.get('iteration', 0)), jnp.int32),
+        augment_p=jnp.asarray(float(ckpt_t.get('augment_p', 0.0))),
+        ppl_running_avg=jnp.asarray(
+            float(ckpt_t.get('ppl_running_avg') or -1.0)),
+        **updates)
+    return state, host_state
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -120,39 +159,13 @@ def main(argv=None):
     resume_label = None
     host_state = None
     if args.resume_from and args.resume_from.endswith('.pth'):
-        # Literal reference-checkpoint path (run.py:102-132 third form):
-        # convert the torch state dicts in place. Optimizer moments are
-        # framework-specific and restart fresh (documented divergence).
-        from nerf_from_image_tpu.utils import torch_convert as tc
+        # Literal reference-checkpoint path (run.py:102-132 third form).
         import torch
         print('Converting reference checkpoint', args.resume_from)
         with open(args.resume_from, 'rb') as f:
             ckpt_t = torch.load(f, map_location='cpu', weights_only=False)
-        conv = lambda sd: tc.convert_generator(
-            {k: tc._np(v) for k, v in sd.items()},
-            attention_values=args.attention_values,
-            use_viewdir=args.use_viewdir, use_sdf=args.use_sdf)
-        updates = {}
-        if ckpt_t.get('model') is not None:
-            updates['params_g'] = conv(ckpt_t['model'])
-        updates['ema_params_g'] = conv(ckpt_t['model_ema'])
-        if ckpt_t.get('discriminator') is not None:
-            updates['params_d'] = tc.convert_discriminator(
-                {k: tc._np(v) for k, v in ckpt_t['discriminator'].items()})
-        if ckpt_t.get('discriminator2') is not None:
-            updates['params_d2'] = tc.convert_discriminator(
-                {k: tc._np(v) for k, v in ckpt_t['discriminator2'].items()})
-        if ckpt_t.get('best_fid') is not None:
-            # checkpoint_best gating continues from the torch run
-            # (run.py:1493-1495) via the host-state channel below.
-            host_state = {'best_fid': float(ckpt_t['best_fid'])}
-        state = state.replace(
-            iteration=jnp.asarray(int(ckpt_t.get('iteration', 0)),
-                                  jnp.int32),
-            augment_p=jnp.asarray(float(ckpt_t.get('augment_p', 0.0))),
-            ppl_running_avg=jnp.asarray(
-                float(ckpt_t.get('ppl_running_avg') or -1.0)),
-            **updates)
+        state, host_state = convert_reference_checkpoint(ckpt_t, args,
+                                                         state)
         state = mesh_lib.replicate(state, mesh)
         print('Resumed (converted) from iteration', int(state.iteration))
     elif args.resume_from:
