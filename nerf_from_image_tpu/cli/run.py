@@ -25,12 +25,15 @@ def convert_reference_checkpoint(ckpt_t: dict, args, state):
     (run.py:872-905 restore semantics): G / G-EMA / D / D2 weights via
     the torch converters, iteration / augment_p / ppl_running_avg into
     the state, best_fid into a (partial) host state so checkpoint_best
-    gating continues (run.py:1493-1495). Optimizer moments are
-    framework-specific and restart fresh (documented divergence).
+    gating continues (run.py:1493-1495). Adam optimizer moments convert
+    through the same layout mapping as their weights (run.py:883-884
+    restores the full optimizer state_dicts), so a .pth resume continues
+    the optimizer trajectory instead of restarting moments from zero.
 
     Returns (state, host_state_or_None)."""
     import jax.numpy as jnp
 
+    from nerf_from_image_tpu.train import gan as gan_lib
     from nerf_from_image_tpu.utils import torch_convert as tc
 
     conv = lambda sd: tc.convert_generator(
@@ -47,6 +50,33 @@ def convert_reference_checkpoint(ckpt_t: dict, args, state):
     if ckpt_t.get('discriminator2') is not None:
         updates['params_d2'] = tc.convert_discriminator(
             {k: tc._np(v) for k, v in ckpt_t['discriminator2'].items()})
+    try:
+        if (ckpt_t.get('optimizer_g') is not None
+                and ckpt_t.get('model') is not None):
+            mu, nu, step, _ = tc.convert_adam_moments(
+                ckpt_t['model'], ckpt_t['optimizer_g'], conv)
+            updates['opt_g'] = gan_lib.restore_adam_moments(
+                state.opt_g, mu, nu, step)
+        if ckpt_t.get('optimizer_d') is not None:
+            # optimizer_d indexes D's params followed by D2's
+            # (run.py:684-688).
+            n_d = 0
+            if ckpt_t.get('discriminator') is not None:
+                mu, nu, step, n_d = tc.convert_adam_moments(
+                    ckpt_t['discriminator'], ckpt_t['optimizer_d'],
+                    tc.convert_discriminator)
+                updates['opt_d'] = gan_lib.restore_adam_moments(
+                    state.opt_d, mu, nu, step)
+            if (ckpt_t.get('discriminator2') is not None
+                    and state.opt_d2 is not None):
+                mu, nu, step, _ = tc.convert_adam_moments(
+                    ckpt_t['discriminator2'], ckpt_t['optimizer_d'],
+                    tc.convert_discriminator, index_offset=n_d)
+                updates['opt_d2'] = gan_lib.restore_adam_moments(
+                    state.opt_d2, mu, nu, step)
+    except (KeyError, ValueError) as e:
+        print('WARNING: optimizer-moment conversion failed; Adam moments '
+              f'restart fresh ({e})')
     host_state = None
     if ckpt_t.get('best_fid') is not None:
         host_state = {'best_fid': float(ckpt_t['best_fid'])}
@@ -126,7 +156,7 @@ def main(argv=None):
     cfg = gan_lib.GANConfig(
         resolution=args.resolution,
         latent_dim=args.latent_dim,
-        depth_samples_per_ray=64 if args.fine_sampling else 128,
+        depth_samples_per_ray=config_lib.depth_samples(args),
         fine_sampling=args.fine_sampling,
         scene_range=dataset_config['scene_range'],
         white_background=dataset_config['white_background'],
@@ -149,7 +179,8 @@ def main(argv=None):
         ada_target=args.ada_target,
         clip_gradient_norm=args.clip_gradient_norm,
         lr_g=args.lr_g, lr_d=args.lr_d, batch_size=args.batch_size,
-        use_pallas=bool(args.use_pallas))
+        use_pallas=bool(args.use_pallas),
+        plane_resolution=args.plane_resolution)
 
     ckpt = ckpt_lib.CheckpointManager(checkpoint_dir)
     state = jax.jit(lambda k: gan_lib.init_train_state(

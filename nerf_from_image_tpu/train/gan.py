@@ -81,7 +81,6 @@ class GANTrainState:
     rng: jax.Array
     augment_p: jnp.ndarray  # scalar f32 (effective ADA probability)
     ppl_running_avg: jnp.ndarray  # scalar f32
-    ada_sign_acc: jnp.ndarray  # scalar f32 (unused placeholder for parity)
     # Second (unconditional-on-image) discriminator for
     # --dual_discriminator with --use_encoder (run.py:545-557). None when
     # single-D or when the second D shares parameters with the first.
@@ -193,6 +192,35 @@ def make_optimizers(cfg: GANConfig):
     return opt_g, opt_d
 
 
+def restore_adam_moments(opt_state, mu, nu, count):
+    """Writes converted torch-Adam moments into an optax chain state.
+
+    ScaleByAdamState receives (count, mu, nu); every other inner state
+    that tracks a ``count`` (the lr-warmup schedule) also receives the
+    step count so warmup resumes where the reference run left off
+    (reference run.py:883-884 loads the full optimizer state_dict)."""
+    count = jnp.asarray(count, jnp.int32)
+    mu = jax.tree_util.tree_map(jnp.asarray, mu)
+    nu = jax.tree_util.tree_map(jnp.asarray, nu)
+
+    def rec(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            want = jax.tree_util.tree_structure(s.mu)
+            got = jax.tree_util.tree_structure(mu)
+            if want != got:
+                raise ValueError(
+                    'converted moment tree does not match the optimizer '
+                    f'state structure: {got} vs {want}')
+            return s._replace(count=count, mu=mu, nu=nu)
+        if hasattr(s, '_fields'):  # other optax NamedTuple states
+            return s._replace(count=count) if 'count' in s._fields else s
+        if isinstance(s, tuple):
+            return tuple(rec(x) for x in s)
+        return s
+
+    return rec(opt_state)
+
+
 def init_train_state(rng: jax.Array, cfg: GANConfig,
                      dtype=jnp.float32) -> GANTrainState:
     gen, disc = make_models(cfg, dtype)
@@ -247,7 +275,6 @@ def init_train_state(rng: jax.Array, cfg: GANConfig,
         rng=rng,
         augment_p=jnp.zeros(()),
         ppl_running_avg=jnp.asarray(-1.0),  # <0 means "uninitialized"
-        ada_sign_acc=jnp.zeros(()),
         params_d2=params_d2,
         opt_d2=opt_d2_state,
     )

@@ -295,6 +295,71 @@ def convert_bootstrap_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# Adam optimizer-moment conversion (reference run.py:883-884,1482-1484)
+# ---------------------------------------------------------------------------
+
+# state_dict leaves registered with register_buffer in the reference
+# models (stylegan.py:199,312,320,393): present in the state_dict but
+# absent from model.parameters(), so they carry no optimizer state.
+_BUFFER_LEAVES = ('resample_filter', 'noise_const')
+
+
+def param_names_in_order(sd: Dict[str, np.ndarray]):
+    """state_dict keys restricted to learnable parameters, in
+    ``model.parameters()`` order.
+
+    torch's state_dict and named_parameters() traverse modules in the
+    same DFS registration order (own entries before children), so
+    filtering buffer leaves out of the state_dict keys reproduces the
+    parameter order that indexes torch optimizer state (the reference
+    builds its optimizers over plain .parameters() lists,
+    run.py:681-688)."""
+    return [k for k in sd if k.rsplit('.', 1)[-1] not in _BUFFER_LEAVES]
+
+
+def convert_adam_moments(sd, opt_sd: Dict[str, Any], convert_fn,
+                         index_offset: int = 0):
+    """torch Adam optimizer state -> ``(mu_tree, nu_tree, step, n_params)``.
+
+    Replaces each parameter entry of ``sd`` with its exp_avg /
+    exp_avg_sq (identical shapes) and runs the same per-entry weight
+    converter, so moments land on exactly the flax leaves their
+    parameters map to. This is valid because every converter transform
+    is a pure layout permutation (transpose/reshape), under which Adam
+    moments transform identically to their parameters. Parameters the
+    torch optimizer never stepped (no grads yet) get zero moments.
+
+    ``index_offset`` selects the tail of a concatenated parameter list:
+    the reference's optimizer_d covers discriminator.parameters() +
+    discriminator2.parameters() back to back (run.py:684-688).
+    """
+    sd = {k: _np(v) for k, v in sd.items()}
+    names = param_names_in_order(sd)
+    t_state = opt_sd['state']
+    mu_sd = dict(sd)
+    nu_sd = dict(sd)
+    step = 0
+    for i, name in enumerate(names):
+        st = t_state.get(index_offset + i,
+                         t_state.get(str(index_offset + i)))
+        if st is None:
+            mu_sd[name] = np.zeros_like(sd[name])
+            nu_sd[name] = np.zeros_like(sd[name])
+            continue
+        mu = _np(st['exp_avg'])
+        nu = _np(st['exp_avg_sq'])
+        if mu.shape != sd[name].shape:
+            raise ValueError(
+                f'optimizer state {index_offset + i} shape {mu.shape} does '
+                f'not match parameter {name!r} {sd[name].shape}; the '
+                'parameter-order reconstruction does not fit this checkpoint')
+        mu_sd[name] = mu
+        nu_sd[name] = nu
+        step = max(step, int(_np(st['step'])))
+    return convert_fn(mu_sd), convert_fn(nu_sd), step, len(names)
+
+
+# ---------------------------------------------------------------------------
 # LPIPS (VGG16) and InceptionV3 (FID)
 # ---------------------------------------------------------------------------
 
