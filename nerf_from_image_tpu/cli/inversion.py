@@ -120,6 +120,7 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
     import jax
     import jax.numpy as jnp
 
+    from nerf_from_image_tpu import config as config_lib
     from nerf_from_image_tpu.invert import optimizer as inv_opt
     from nerf_from_image_tpu.invert import pipeline as pipe
     from nerf_from_image_tpu.invert import pnp
@@ -219,7 +220,7 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
 
     inv_cfg = inv_opt.InversionConfig(
         resolution=args.resolution,
-        depth_samples_per_ray=64 if args.fine_sampling else 128,
+        depth_samples_per_ray=config_lib.depth_samples(args),
         fine_sampling=args.fine_sampling,
         ray_multiplier=1 if args.fine_sampling else 4,
         scene_range=dataset_config['scene_range'],

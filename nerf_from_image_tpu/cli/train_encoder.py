@@ -18,6 +18,7 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
     import jax
     import jax.numpy as jnp
 
+    from nerf_from_image_tpu import config as config_lib
     from nerf_from_image_tpu.models.encoder import BootstrapEncoder
     from nerf_from_image_tpu.parallel import mesh as mesh_lib
     from nerf_from_image_tpu.train import encoder as enc_lib
@@ -31,7 +32,7 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
         gen = gen.clone(use_pallas=True)
     cfg = enc_lib.EncoderConfig(
         resolution=args.resolution, latent_dim=args.latent_dim,
-        depth_samples_per_ray=64 if args.fine_sampling else 128,
+        depth_samples_per_ray=config_lib.depth_samples(args),
         fine_sampling=args.fine_sampling,
         scene_range=gan_cfg.scene_range,
         white_background=gan_cfg.white_background)

@@ -96,6 +96,15 @@ def parse_args(argv=None):
                              'to <tensorboard_dir>/trace')
     parser.add_argument('--use_pallas', type=int, default=1,
                         help='Enable Pallas kernels on TPU (0 = XLA paths)')
+    parser.add_argument('--plane_resolution', type=int, default=256,
+                        help='StyleGAN synthesis / triplane resolution '
+                             '(the reference fixes 256; '
+                             'models/generator.py:373-377)')
+    parser.add_argument('--depth_samples_per_ray', type=int, default=0,
+                        help='override depth samples per ray (0 = the '
+                             'reference rule: 64 coarse [+64 fine], or 128 '
+                             'coarse when fine sampling is off; '
+                             'run.py:511-514)')
 
     args = parser.parse_args(argv)
 
@@ -104,6 +113,15 @@ def parse_args(argv=None):
     if args.dual_discriminator_mse and not args.dual_discriminator:
         args.dual_discriminator = True
     return args
+
+
+def depth_samples(args) -> int:
+    """Per-pass depth samples: the reference rule (64 coarse [+64 fine],
+    128 coarse without fine sampling; run.py:511-514) unless overridden
+    by --depth_samples_per_ray."""
+    if args.depth_samples_per_ray:
+        return args.depth_samples_per_ray
+    return 64 if args.fine_sampling else 128
 
 
 def suggest_experiment_name(args) -> str:
