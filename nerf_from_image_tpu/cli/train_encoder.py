@@ -22,6 +22,7 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
     from nerf_from_image_tpu.models.encoder import BootstrapEncoder
     from nerf_from_image_tpu.parallel import mesh as mesh_lib
     from nerf_from_image_tpu.train import encoder as enc_lib
+    from nerf_from_image_tpu.utils import checkpoint as ckpt_lib
     from nerf_from_image_tpu.utils.io import EndlessSampler
 
     encoder = BootstrapEncoder(latent_dim=args.latent_dim,
@@ -40,8 +41,17 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
     state = jax.jit(lambda k: enc_lib.init_train_state(k, encoder, cfg))(
         jax.random.PRNGKey(99))
     state = mesh_lib.replicate(state, mesh)
+
+    rng_np = np.random.RandomState(1234)
+    sampler = EndlessSampler(len(train_split.images), rng_np)
     if ckpt_manager.exists('enc_latest'):
         state = ckpt_manager.restore(state, 'enc_latest')
+        # Host RNG + batch-sampler ride a sidecar npz so a resumed run
+        # reproduces the exact pose-batch order (the reference encoder
+        # checkpoint carries 'random_state', run.py:1575-1605).
+        hs = ckpt_manager.restore_host_state('enc_latest')
+        if hs is not None:
+            ckpt_lib.apply_host_state(hs, rng_np, sampler)
         print('Resumed encoder from iteration', int(state.iteration))
 
     opt = enc_lib.make_optimizer()
@@ -49,9 +59,6 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
     step = jax.jit(lambda s, b: enc_lib.train_step(s, b, encoder, gen,
                                                    gen_vars, opt, cfg),
                    donate_argnums=0)
-
-    rng_np = np.random.RandomState(1234)
-    sampler = EndlessSampler(len(train_split.images), rng_np)
 
     i = int(state.iteration)
     t0 = time.time()
@@ -80,9 +87,11 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
                 for k, v in metrics.items():
                     writer.add_scalar(f'coord_regressor/{k}', float(v), i)
         if i % 10000 == 0:
-            ckpt_manager.save(state, 'enc_latest')
+            hs = ckpt_lib.pack_host_state(rng_np, sampler)
+            ckpt_manager.save(state, 'enc_latest', host_state=hs)
             if i % 20000 == 0:
-                ckpt_manager.save(state, f'enc_{i}')
+                ckpt_manager.save(state, f'enc_{i}', host_state=hs)
 
-    ckpt_manager.save(state, 'enc_latest')
+    ckpt_manager.save(state, 'enc_latest',
+                      host_state=ckpt_lib.pack_host_state(rng_np, sampler))
     return state.params

@@ -62,6 +62,23 @@ def test_encoder_distillation_loss_decreases(tmp_path):
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # Host-state sidecar: the encoder trainer checkpoints the host RNG +
+    # batch sampler like the reference's 'random_state'
+    # (run.py:1575-1605; cli/train_encoder.py resume glue), so a resumed
+    # run reproduces the exact pose-batch order.
+    from nerf_from_image_tpu.utils.io import EndlessSampler
+    rng = np.random.RandomState(7)
+    sampler = EndlessSampler(13, rng)
+    sampler(5)
+    ckpt.save(state, 'enc_latest',
+              host_state=ckpt_lib.pack_host_state(rng, sampler))
+    expect = sampler(8)
+    rng2 = np.random.RandomState(0)
+    sampler2 = EndlessSampler(13, rng2)
+    ckpt_lib.apply_host_state(ckpt.restore_host_state('enc_latest'), rng2,
+                              sampler2)
+    np.testing.assert_array_equal(sampler2(8), expect)
+
 
 def test_bootstrap_split_matches_sync():
     """bootstrap_dispatch + bootstrap_finish (the scan-overlap path) must
