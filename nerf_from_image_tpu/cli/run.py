@@ -50,12 +50,16 @@ def convert_reference_checkpoint(ckpt_t: dict, args, state):
     if ckpt_t.get('discriminator2') is not None:
         updates['params_d2'] = tc.convert_discriminator(
             {k: tc._np(v) for k, v in ckpt_t['discriminator2'].items()})
+    # Staged separately and merged only on full success: a partial
+    # restore (G converted, D failed) would be an inconsistent optimizer
+    # state matching neither the reference resume nor a fresh restart.
+    opt_updates = {}
     try:
         if (ckpt_t.get('optimizer_g') is not None
                 and ckpt_t.get('model') is not None):
             mu, nu, step, _ = tc.convert_adam_moments(
                 ckpt_t['model'], ckpt_t['optimizer_g'], conv)
-            updates['opt_g'] = gan_lib.restore_adam_moments(
+            opt_updates['opt_g'] = gan_lib.restore_adam_moments(
                 state.opt_g, mu, nu, step)
         if ckpt_t.get('optimizer_d') is not None:
             # optimizer_d indexes D's params followed by D2's
@@ -65,18 +69,19 @@ def convert_reference_checkpoint(ckpt_t: dict, args, state):
                 mu, nu, step, n_d = tc.convert_adam_moments(
                     ckpt_t['discriminator'], ckpt_t['optimizer_d'],
                     tc.convert_discriminator)
-                updates['opt_d'] = gan_lib.restore_adam_moments(
+                opt_updates['opt_d'] = gan_lib.restore_adam_moments(
                     state.opt_d, mu, nu, step)
             if (ckpt_t.get('discriminator2') is not None
                     and state.opt_d2 is not None):
                 mu, nu, step, _ = tc.convert_adam_moments(
                     ckpt_t['discriminator2'], ckpt_t['optimizer_d'],
                     tc.convert_discriminator, index_offset=n_d)
-                updates['opt_d2'] = gan_lib.restore_adam_moments(
+                opt_updates['opt_d2'] = gan_lib.restore_adam_moments(
                     state.opt_d2, mu, nu, step)
+        updates.update(opt_updates)
     except (KeyError, ValueError) as e:
-        print('WARNING: optimizer-moment conversion failed; Adam moments '
-              f'restart fresh ({e})')
+        print('WARNING: optimizer-moment conversion failed; ALL Adam '
+              f'moments restart fresh ({e})')
     host_state = None
     if ckpt_t.get('best_fid') is not None:
         host_state = {'best_fid': float(ckpt_t['best_fid'])}
@@ -217,12 +222,21 @@ def main(argv=None):
         host_state = resume_ckpt.restore_host_state(resume_label)
         print('Resumed from iteration', int(state.iteration))
     elif ckpt.exists('latest') and not args.run_inversion:
-        candidate = ckpt.restore(state, 'latest')
-        if int(candidate.iteration) >= 12500:
+        # Auto-resume must not hard-fail on a structurally incompatible
+        # checkpoint (e.g. saved by an older train-state layout) — the
+        # reference's policy here is best-effort resume with a scratch
+        # fallback (run.py:133-143). Explicit --resume_from stays loud.
+        try:
+            candidate = ckpt.restore(state, 'latest')
+        except Exception as e:
+            print(f'Aborting resume (incompatible latest checkpoint: {e}); '
+                  'training from scratch')
+            candidate = None
+        if candidate is not None and int(candidate.iteration) >= 12500:
             state = candidate
             host_state = ckpt.restore_host_state('latest')
             print('Auto-resumed from iteration', int(state.iteration))
-        else:
+        elif candidate is not None:
             print('Aborting resume (training from scratch)')
 
     if args.run_inversion:

@@ -202,6 +202,7 @@ def restore_adam_moments(opt_state, mu, nu, count):
     count = jnp.asarray(count, jnp.int32)
     mu = jax.tree_util.tree_map(jnp.asarray, mu)
     nu = jax.tree_util.tree_map(jnp.asarray, nu)
+    found = []
 
     def rec(s):
         if isinstance(s, optax.ScaleByAdamState):
@@ -211,6 +212,7 @@ def restore_adam_moments(opt_state, mu, nu, count):
                 raise ValueError(
                     'converted moment tree does not match the optimizer '
                     f'state structure: {got} vs {want}')
+            found.append(s)
             return s._replace(count=count, mu=mu, nu=nu)
         if hasattr(s, '_fields'):  # other optax NamedTuple states
             return s._replace(count=count) if 'count' in s._fields else s
@@ -218,7 +220,14 @@ def restore_adam_moments(opt_state, mu, nu, count):
             return tuple(rec(x) for x in s)
         return s
 
-    return rec(opt_state)
+    out = rec(opt_state)
+    if not found:
+        # Fail loud: a wrapped chain (optax.MultiSteps/masked/...) holds
+        # the Adam state inside a NamedTuple field this walk does not
+        # descend into — silently returning unchanged state would drop
+        # the converted moments.
+        raise ValueError('no ScaleByAdamState found in the optimizer state')
+    return out
 
 
 def init_train_state(rng: jax.Array, cfg: GANConfig,
