@@ -170,14 +170,31 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
                               args.resume_from or experiment_name)
     enc_ckpt = ckpt_lib.CheckpointManager(coords_dir)
     enc_params = None
-    if args.coord_resume_from and enc_ckpt.exists(args.coord_resume_from):
+    if args.coord_resume_from and args.coord_resume_from.endswith('.npz'):
+        # Converted reference encoder checkpoint
+        # (scripts/convert_weights.py --kind encoder -> encoder.npz).
+        from nerf_from_image_tpu.utils.weights import load_npz_variables
+        enc_params = load_npz_variables(args.coord_resume_from)
+        assert enc_params is not None, \
+            f'no converted encoder at {args.coord_resume_from}'
+    elif args.coord_resume_from and enc_ckpt.exists(args.coord_resume_from):
+        # Encoder checkpoints store the FULL EncoderTrainState (orbax
+        # needs the matching target structure); inversion keeps only the
+        # params.
+        from nerf_from_image_tpu.train import encoder as enc_lib
+        enc_cfg = enc_lib.EncoderConfig(
+            resolution=args.resolution, latent_dim=args.latent_dim,
+            depth_samples_per_ray=config_lib.depth_samples(args),
+            fine_sampling=args.fine_sampling,
+            scene_range=gan_cfg.scene_range,
+            white_background=gan_cfg.white_background)
         target = jax.eval_shape(
-            lambda k: encoder.init(k, jnp.zeros((1, 3, args.resolution,
-                                                 args.resolution))),
+            lambda k: enc_lib.init_train_state(k, encoder, enc_cfg),
             jax.random.PRNGKey(0))
         target = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), target)
-        enc_params = enc_ckpt.restore(target, args.coord_resume_from)
+        enc_params = enc_ckpt.restore(target,
+                                      args.coord_resume_from).params
     else:
         from nerf_from_image_tpu.cli.train_encoder import \
             train_coord_regressor
@@ -418,41 +435,40 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
 
 
 def load_lpips_vars(args, lpips):
-    """Loads converted LPIPS weights if present, else random init
-    (parity requires the converted weights; random is only a fallback so
-    the pipeline runs without the asset)."""
+    """Loads converted LPIPS weights ({root_path}/weights/lpips.npz, the
+    asset scripts/convert_weights.py --kind lpips writes) if present,
+    else random init (parity requires the converted weights; random is
+    only a fallback so the pipeline runs without the asset)."""
     import jax
     import jax.numpy as jnp
-    from nerf_from_image_tpu.utils import checkpoint as ckpt_lib
+    from nerf_from_image_tpu.utils.weights import load_npz_variables
 
-    path = os.path.join(args.root_path, 'weights', 'lpips_vgg')
-    init = jax.jit(lpips.init)(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 3, 64, 64)),
-                               jnp.zeros((1, 3, 64, 64)))
-    if os.path.exists(path):
-        return ckpt_lib.restore_pytree(path, init)
+    path = os.path.join(args.root_path, 'weights', 'lpips.npz')
+    variables = load_npz_variables(path)
+    if variables is not None:
+        return variables
     print('WARNING: LPIPS weights not found at', path,
           '- using random init (convert with scripts/convert_weights.py)')
-    return init
+    return jax.jit(lpips.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 3, 64, 64)),
+                               jnp.zeros((1, 3, 64, 64)))
 
 
 def load_inception_apply(args):
+    """Jitted FID-Inception activations from
+    {root_path}/weights/inception.npz (scripts/convert_weights.py --kind
+    inception); FID reporting is disabled without the asset."""
     import jax
-    import jax.numpy as jnp
     from nerf_from_image_tpu.models.inception import InceptionV3FID
-    from nerf_from_image_tpu.utils import checkpoint as ckpt_lib
+    from nerf_from_image_tpu.utils.weights import load_npz_variables
 
-    path = os.path.join(args.root_path, 'weights', 'inception_fid')
-    if not os.path.exists(path):
+    path = os.path.join(args.root_path, 'weights', 'inception.npz')
+    variables = load_npz_variables(path)
+    if variables is None:
         print('WARNING: Inception weights not found at', path,
               '- FID reporting disabled')
         return None
     net = InceptionV3FID()
-    init = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0),
-                                           jnp.zeros((1, 3, 64, 64))))
-    init = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
-                                  init)
-    variables = ckpt_lib.restore_pytree(path, init)
     return jax.jit(lambda x: net.apply(variables, x))
 
 

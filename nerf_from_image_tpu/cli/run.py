@@ -312,19 +312,14 @@ def make_inception_apply(args):
     from {root_path}/weights/inception.npz when present."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
-    import flax
 
     from nerf_from_image_tpu.models.inception import InceptionV3FID
+    from nerf_from_image_tpu.utils.weights import load_npz_variables
 
     net = InceptionV3FID()
     path = os.path.join(args.root_path, 'weights', 'inception.npz')
-    variables = None
-    if os.path.exists(path):
-        flat = dict(np.load(path))
-        variables = {'params': flax.traverse_util.unflatten_dict(
-            {tuple(k.split('/')): v for k, v in flat.items()})}
-    else:
+    variables = load_npz_variables(path)
+    if variables is None:
         print(f'WARNING: no converted Inception weights at {path}; '
               'FID uses a randomly initialized Inception (numbers are '
               'self-consistent only). Run scripts/convert_weights.py.')
@@ -341,18 +336,14 @@ def make_lpips_apply(args):
     + lin weights from {root_path}/weights/lpips.npz when present."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
-    import flax
 
     from nerf_from_image_tpu.models.lpips import LPIPS
+    from nerf_from_image_tpu.utils.weights import load_npz_variables
 
     net = LPIPS()
     path = os.path.join(args.root_path, 'weights', 'lpips.npz')
-    if os.path.exists(path):
-        flat = dict(np.load(path))
-        variables = {'params': flax.traverse_util.unflatten_dict(
-            {tuple(k.split('/')): v for k, v in flat.items()})}
-    else:
+    variables = load_npz_variables(path)
+    if variables is None:
         print(f'WARNING: no converted LPIPS weights at {path}; '
               'LPIPS uses a randomly initialized VGG16.')
         variables = net.init(jax.random.PRNGKey(0),

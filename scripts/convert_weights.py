@@ -26,28 +26,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 from nerf_from_image_tpu.utils import torch_convert as tc
-
-
-def flatten(tree, prefix=''):
-    out = {}
-    for k, v in tree.items():
-        key = f'{prefix}/{k}' if prefix else str(k)
-        if isinstance(v, dict):
-            out.update(flatten(v, key))
-        else:
-            out[key] = np.asarray(v)
-    return out
-
-
-def save(tree, path):
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    flat = flatten(tree)
-    np.savez(path, **flat)
-    print(f'wrote {path} ({len(flat)} arrays, '
-          f'{sum(v.nbytes for v in flat.values()) / 1e6:.1f} MB)')
+from nerf_from_image_tpu.utils.weights import save_npz_variables as save
 
 
 def main():
