@@ -13,6 +13,40 @@ import time
 import numpy as np
 
 
+def graft_segformer_backbone(enc_params, mit_params):
+    """Initializes the BootstrapEncoder's SegFormer backbone(s) from
+    converted mit_b5 pretrained weights (reference run.py:1568-1571 /
+    models/segformer.py:278-310 load mit_b5.pth; heads and the decode
+    layers absent from the pretrain keep their fresh init).
+
+    enc_params: flax variables {'params': {'backbone': ..., ...}};
+    mit_params: the 'params' tree of weights/mit_b5.npz."""
+    p = dict(enc_params['params'])
+    grafted = 0
+    for name in ('backbone', 'backbone_latent'):
+        if name not in p:
+            continue
+        sub = dict(p[name])
+        for k, v in mit_params.items():
+            if k not in sub:
+                continue
+            import jax
+            want = jax.tree_util.tree_map(lambda a: a.shape, sub[k])
+            got = jax.tree_util.tree_map(lambda a: a.shape, v)
+            if want != got:
+                raise ValueError(
+                    f'mit_b5 weights do not fit the encoder: {name}/{k} '
+                    f'has shapes {got}, encoder expects {want}')
+            sub[k] = v
+            grafted += 1
+        p[name] = sub
+    if grafted == 0:
+        raise ValueError('mit_b5 weights matched no encoder backbone keys')
+    out = dict(enc_params)
+    out['params'] = p
+    return out
+
+
 def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
                           ckpt_manager, writer):
     import jax
@@ -40,6 +74,23 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
 
     state = jax.jit(lambda k: enc_lib.init_train_state(k, encoder, cfg))(
         jax.random.PRNGKey(99))
+
+    # ImageNet-pretrained MiT-B5 backbone init (the reference loads
+    # mit_b5.pth before encoder training, run.py:1568-1571; convert it
+    # with scripts/convert_weights.py --kind mit_b5 — see SETUP.md).
+    # A resumed run's own weights overwrite this below.
+    from nerf_from_image_tpu.utils.weights import load_npz_variables
+    mit_path = os.path.join(args.root_path, 'weights', 'mit_b5.npz')
+    mit = load_npz_variables(mit_path)
+    if mit is not None:
+        state = state.replace(
+            params=graft_segformer_backbone(state.params, mit['params']))
+        print('Initialized SegFormer backbone(s) from', mit_path)
+    else:
+        print(f'WARNING: no pretrained SegFormer at {mit_path}; the '
+              'encoder backbone trains from random init (the reference '
+              'starts from mit_b5.pth — see SETUP.md)')
+
     state = mesh_lib.replicate(state, mesh)
 
     rng_np = np.random.RandomState(1234)

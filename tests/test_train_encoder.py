@@ -80,6 +80,44 @@ def test_encoder_distillation_loss_decreases(tmp_path):
     np.testing.assert_array_equal(sampler2(8), expect)
 
 
+def test_graft_segformer_backbone():
+    """Pretrained MiT weights land on the backbone(s) only; heads and
+    decode layers absent from the pretrain keep their init; shape
+    mismatches fail loudly (cli/train_encoder.py; reference
+    run.py:1568-1571 loads mit_b5.pth before encoder training)."""
+    from nerf_from_image_tpu.cli.train_encoder import \
+        graft_segformer_backbone
+
+    _, encoder = _tiny_models()
+    variables = encoder.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 3, 32, 32)))
+    bb = variables['params']['backbone']
+    # Pretrain tree: backbone keys only (as convert_segformer on
+    # mit_b5.pth yields — no decode head), with recognizable values.
+    mit = {k: jax.tree_util.tree_map(lambda a: np.full_like(a, 7.0), v)
+           for k, v in bb.items() if k.startswith(('patch_embed', 'block',
+                                                   'norm'))}
+    assert mit, 'tiny backbone produced no graftable keys'
+    out = graft_segformer_backbone(variables, mit)
+    for k in mit:
+        for leaf in jax.tree_util.tree_leaves(out['params']['backbone'][k]):
+            np.testing.assert_array_equal(np.asarray(leaf), 7.0)
+    # Non-backbone trees untouched.
+    for k in variables['params']:
+        if k == 'backbone':
+            continue
+        for a, b in zip(jax.tree_util.tree_leaves(variables['params'][k]),
+                        jax.tree_util.tree_leaves(out['params'][k])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Shape mismatch is a loud error, not a silent partial graft.
+    bad = dict(mit)
+    k0 = next(iter(bad))
+    bad[k0] = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape + (2,), a.dtype), bad[k0])
+    with pytest.raises(ValueError, match='mit_b5'):
+        graft_segformer_backbone(variables, bad)
+
+
 def test_bootstrap_split_matches_sync():
     """bootstrap_dispatch + bootstrap_finish (the scan-overlap path) must
     equal the synchronous bootstrap_batch."""
