@@ -18,31 +18,42 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+from nerf_from_image_tpu.utils import io as io_lib
+
+
+def _canon(path: str) -> str:
+    """abspath for local paths; gs:// URIs pass through untouched
+    (os.path.abspath would mangle the scheme; orbax handles gs:// via
+    etils — reference IO is GCS-capable throughout, lib/utils.py:23-56).
+    """
+    return path if path.startswith('gs://') else os.path.abspath(path)
+
 
 def save_pytree(path: str, tree: Any, extra_metadata: Optional[dict] = None):
     """Saves a pytree checkpoint to `path` (a directory)."""
-    path = os.path.abspath(path)
+    path = _canon(path)
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(path, tree, force=True)
     ckpt.wait_until_finished()
     if extra_metadata:
         import json
-        with open(os.path.join(path, 'nfi_metadata.json'), 'w') as f:
+        with io_lib.open_file(os.path.join(path, 'nfi_metadata.json'),
+                              'w') as f:
             json.dump(extra_metadata, f)
 
 
 def restore_pytree(path: str, target: Any) -> Any:
     """Restores a pytree checkpoint with `target`'s structure/shardings."""
-    path = os.path.abspath(path)
+    path = _canon(path)
     ckpt = ocp.StandardCheckpointer()
     return ckpt.restore(path, target=target)
 
 
 def load_metadata(path: str) -> dict:
     import json
-    meta_path = os.path.join(os.path.abspath(path), 'nfi_metadata.json')
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
+    meta_path = os.path.join(_canon(path), 'nfi_metadata.json')
+    if io_lib.file_exists(meta_path):
+        with io_lib.open_file(meta_path) as f:
             return json.load(f)
     return {}
 
@@ -51,8 +62,8 @@ class CheckpointManager:
     """latest/best/step-N checkpoint policy (run.py:1511-1516 semantics)."""
 
     def __init__(self, directory: str):
-        self.directory = os.path.abspath(directory)
-        os.makedirs(self.directory, exist_ok=True)
+        self.directory = _canon(directory)
+        io_lib.mkdir(self.directory)
 
     def _path(self, label: str) -> str:
         return os.path.join(self.directory, f'checkpoint_{label}')
@@ -62,20 +73,23 @@ class CheckpointManager:
              host_state: Optional[dict] = None):
         save_pytree(self._path(label), tree, metadata)
         if host_state is not None:
-            np.savez(os.path.join(self._path(label), 'host_state.npz'),
-                     **host_state)
+            with io_lib.open_file(
+                    os.path.join(self._path(label), 'host_state.npz'),
+                    'wb') as f:
+                np.savez(f, **host_state)
 
     def restore(self, target: Any, label: str = 'latest') -> Any:
         return restore_pytree(self._path(label), target)
 
     def restore_host_state(self, label: str = 'latest') -> Optional[dict]:
         path = os.path.join(self._path(label), 'host_state.npz')
-        if not os.path.exists(path):
+        if not io_lib.file_exists(path):
             return None
-        return dict(np.load(path))
+        with io_lib.open_file(path, 'rb') as f:
+            return dict(np.load(f))
 
     def exists(self, label: str = 'latest') -> bool:
-        return os.path.exists(self._path(label))
+        return io_lib.file_exists(self._path(label))
 
     def metadata(self, label: str = 'latest') -> dict:
         return load_metadata(self._path(label))
