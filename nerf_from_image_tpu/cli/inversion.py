@@ -157,7 +157,8 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
 
     report_dir_eff = os.path.join(report_dir, args.resume_from or
                                   experiment_name, cfg_string)
-    os.makedirs(report_dir_eff, exist_ok=True)
+    from nerf_from_image_tpu.utils import io as io_lib
+    io_lib.mkdir(report_dir_eff)
     writer = SummaryWriter(report_dir_eff)
 
     gen, _ = gan_lib.make_models(gan_cfg)

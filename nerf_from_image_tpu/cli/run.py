@@ -250,9 +250,10 @@ def main(argv=None):
     # Host-side side effects (tensorboard, checkpoints) are process-0
     # only on multi-host runs; every process still computes the same
     # replicated eval values.
+    from nerf_from_image_tpu.utils import io as io_lib
     main_proc = dist.is_main_process()
     if main_proc:
-        os.makedirs(checkpoint_dir, exist_ok=True)
+        io_lib.mkdir(checkpoint_dir)
     writer = SummaryWriter(tensorboard_dir) if main_proc else None
 
     # Evaluation stack: Inception for FID (+ LPIPS for encoder-mode

@@ -33,6 +33,7 @@ from nerf_from_image_tpu.metrics import fid as fid_lib
 from nerf_from_image_tpu.metrics import image as image_metrics
 from nerf_from_image_tpu.models.encoder import BootstrapEncoder
 from nerf_from_image_tpu.models.generator import Generator
+from nerf_from_image_tpu.utils import io as io_lib
 
 REPORT_SCALARS = ('psnr', 'psnr_random', 'lpips', 'lpips_random', 'ssim',
                   'ssim_random', 'iou', 'rot_error')
@@ -316,24 +317,24 @@ def save_report_checkpoint(path: str, report, idx: int, key) -> None:
         for k, v in entry.items():
             for i, arr in enumerate(v):
                 flat[f'{step}/{k}/{i}'] = np.asarray(arr)
-    np.savez_compressed(path, **flat)
+    io_lib.save_npz(path, compressed=True, **flat)
 
 
 def load_report_checkpoint(path: str, report):
     """Restores a mid-run checkpoint into `report` (run.py:1858-1871).
     Returns (idx, key) or (0, None) when absent."""
-    if not os.path.exists(path):
+    if not io_lib.file_exists(path):
         return 0, None
-    data = np.load(path)
+    data = io_lib.load_npz(path)
     # Rebuild each metric list in append order (the /i suffix preserves it).
     for step in report:
         for k in report[step]:
-            names = sorted((n for n in data.files
+            names = sorted((n for n in data
                             if n.startswith(f'{step}/{k}/')),
                            key=lambda n: int(n.rsplit('/', 1)[1]))
             report[step][k] = [data[n] for n in names]
     idx = int(data['__idx__'])
-    key = data['__key__'] if '__key__' in data.files else None
+    key = data.get('__key__')
     return idx, key
 
 
@@ -343,8 +344,8 @@ def compute_real_fid_stats(images, inception_apply, batch_size: int = 8,
     (run.py:385-403). Cached to disk when cache_path is given."""
     if inception_apply is None:
         return None
-    if cache_path is not None and os.path.exists(cache_path):
-        data = np.load(cache_path)
+    if cache_path is not None and io_lib.file_exists(cache_path):
+        data = io_lib.load_npz(cache_path)
         return data['mu'], data['sigma']
     acts = []
     for i in range(0, len(images), batch_size):
@@ -357,13 +358,12 @@ def compute_real_fid_stats(images, inception_apply, batch_size: int = 8,
         acts.append(a[:batch_size - pad] if pad else a)
     stats = fid_lib.calculate_stats(np.concatenate(acts, 0))
     if cache_path is not None:
-        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-        np.savez(cache_path, mu=stats[0], sigma=stats[1])
+        io_lib.save_npz(cache_path, mu=stats[0], sigma=stats[1])
     return stats
 
 
 def save_report(report, report_str: str, out_dir: str, header: str = ''):
-    os.makedirs(out_dir, exist_ok=True)
+    io_lib.mkdir(out_dir)
     flat = {}
     for step, entry in report.items():
         for k, v in entry.items():
@@ -371,8 +371,9 @@ def save_report(report, report_str: str, out_dir: str, header: str = ''):
                 flat[f'{step}/{k}'] = v
             else:
                 flat[f'{step}/{k}'] = np.asarray(v)
-    np.savez_compressed(os.path.join(out_dir, 'report.npz'), **flat)
-    with open(os.path.join(out_dir, 'report.txt'), 'w') as f:
+    io_lib.save_npz(os.path.join(out_dir, 'report.npz'), compressed=True,
+                    **flat)
+    with io_lib.open_file(os.path.join(out_dir, 'report.txt'), 'w') as f:
         if header:
             f.write(header + '\n')
         f.write(report_str)

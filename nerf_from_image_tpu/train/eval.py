@@ -154,9 +154,10 @@ class GANEvaluator:
             return split.fid_stats
         if self.inception_apply is None:
             return None
+        from nerf_from_image_tpu.utils import io as io_lib
         path = self._stats_cache_path(tag)
-        if path is not None and os.path.exists(path):
-            data = np.load(path)
+        if path is not None and io_lib.file_exists(path):
+            data = io_lib.load_npz(path)
             split.fid_stats = (data['mu'], data['sigma'])
             return split.fid_stats
         acts = []
@@ -173,8 +174,8 @@ class GANEvaluator:
         acts = np.concatenate(acts, 0)
         split.fid_stats = fid_lib.calculate_stats(acts)
         if path is not None:
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            np.savez(path, mu=split.fid_stats[0], sigma=split.fid_stats[1])
+            io_lib.save_npz(path, mu=split.fid_stats[0],
+                            sigma=split.fid_stats[1])
         return split.fid_stats
 
     # ---- Rendering -------------------------------------------------------

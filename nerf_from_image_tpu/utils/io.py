@@ -53,6 +53,22 @@ def mkdir(path) -> None:
     os.makedirs(path, exist_ok=True)
 
 
+def save_npz(path, compressed: bool = False, **arrays) -> None:
+    """GCS-aware np.savez (the reference writes caches/reports through
+    its gfile-backed open_file, lib/utils.py:23-56)."""
+    parent = os.path.dirname(path)
+    if parent:
+        mkdir(parent)
+    with open_file(path, 'wb') as f:
+        (np.savez_compressed if compressed else np.savez)(f, **arrays)
+
+
+def load_npz(path) -> dict:
+    """GCS-aware np.load for .npz files; materializes all arrays."""
+    with open_file(path, 'rb') as f:
+        return dict(np.load(f))
+
+
 class EndlessSampler:
     """Shuffled endless index stream (lib/utils.py:163-192).
 

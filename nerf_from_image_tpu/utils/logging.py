@@ -18,9 +18,14 @@ import numpy as np
 
 class SummaryWriter:
     def __init__(self, log_dir: str):
+        from nerf_from_image_tpu.utils import io as io_lib
         self.log_dir = log_dir
-        os.makedirs(log_dir, exist_ok=True)
-        self._jsonl = open(os.path.join(log_dir, 'scalars.jsonl'), 'a')
+        io_lib.mkdir(log_dir)
+        # gs:// log dirs: torch's tensorboard writer handles them via
+        # tf.io.gfile when tensorflow is present (same dependency story
+        # as the reference's SummaryWriter on GCS, run.py:100).
+        self._jsonl = io_lib.open_file(
+            os.path.join(log_dir, 'scalars.jsonl'), 'a')
         self._tb = None
         try:
             from torch.utils import tensorboard

@@ -15,6 +15,8 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
+from nerf_from_image_tpu.utils import io as io_lib
+
 
 def flatten_variables(tree: Dict[str, Any], prefix: str = '') -> dict:
     out = {}
@@ -29,9 +31,8 @@ def flatten_variables(tree: Dict[str, Any], prefix: str = '') -> dict:
 
 def save_npz_variables(tree: Dict[str, Any], path: str) -> None:
     """Writes a variables tree (with collection roots) as a flat .npz."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     flat = flatten_variables(tree)
-    np.savez(path, **flat)
+    io_lib.save_npz(path, **flat)
     print(f'wrote {path} ({len(flat)} arrays, '
           f'{sum(v.nbytes for v in flat.values()) / 1e6:.1f} MB)')
 
@@ -42,10 +43,10 @@ def load_npz_variables(path: str) -> Optional[Dict[str, Any]]:
     were flattened INTO the keys, so no extra {'params': ...} nesting is
     added here (re-wrapping was a real bug: flax then looked up modules
     under variables['params']['params'])."""
-    if not os.path.exists(path):
+    if not io_lib.file_exists(path):
         return None
     import flax
 
-    flat = dict(np.load(path))
+    flat = io_lib.load_npz(path)
     return flax.traverse_util.unflatten_dict(
         {tuple(k.split('/')): v for k, v in flat.items()})
