@@ -13,6 +13,7 @@ warning.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import numpy as np
@@ -21,8 +22,21 @@ import numpy as np
 def load_manual_image(path_or_url: str, coco_class_id: int,
                       segment_fn: Optional[Callable] = None) -> dict:
     if path_or_url.startswith(('http://', 'https://')):
-        raise RuntimeError('URL inputs require network access; download the '
-                           'image and pass a local path instead')
+        # The reference accepts URLs here (lib/utils.py:116-160).
+        import tempfile
+        import urllib.request
+        try:
+            suffix = os.path.splitext(path_or_url.split('?')[0])[1] or '.jpg'
+            with urllib.request.urlopen(path_or_url, timeout=30) as r, \
+                    tempfile.NamedTemporaryFile(suffix=suffix,
+                                                delete=False) as f:
+                f.write(r.read())
+                path_or_url = f.name
+        except Exception as e:
+            raise RuntimeError(
+                f'could not download {path_or_url} ({e}); if this '
+                'machine has no network access, download the image and '
+                'pass a local path instead') from e
     from nerf_from_image_tpu.data.datasets import imread
     img = imread(path_or_url)
     if img.ndim == 2:

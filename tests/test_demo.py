@@ -80,3 +80,41 @@ def test_load_manual_image_rgb_uses_grabcut(tmp_path):
     x0, y0, x1, y1 = out['bbox']
     assert 20 <= x0 <= 36 and 16 <= y0 <= 30
     assert 60 <= x1 <= 72 and 66 <= y1 <= 78
+
+
+def test_load_manual_image_url_downloads(tmp_path, monkeypatch):
+    """URL inputs are fetched and processed like local paths (reference
+    lib/utils.py:116-160 accepts URLs); hermetic via a stubbed urlopen."""
+    import io
+    import urllib.request
+    from PIL import Image
+
+    img = (np.clip(_subject_image(), 0, 1) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format='PNG')
+    payload = buf.getvalue()
+
+    class FakeResponse(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    seen = {}
+
+    def fake_urlopen(url, timeout=None):
+        seen['url'] = url
+        return FakeResponse(payload)
+
+    monkeypatch.setattr(urllib.request, 'urlopen', fake_urlopen)
+
+    def seg(im, cls):
+        m = np.zeros(im.shape[:2])
+        m[2:6, 3:9] = 1.0
+        return m
+
+    out = demo.load_manual_image('https://example.com/bird.png',
+                                 coco_class_id=14, segment_fn=seg)
+    assert seen['url'] == 'https://example.com/bird.png'
+    np.testing.assert_allclose(out['bbox'], [3, 2, 8, 5])
