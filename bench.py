@@ -15,15 +15,37 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import sys
+import threading
 import time
-
-import jax
-import jax.numpy as jnp
 
 BASELINE_RAYS_PER_SEC = 0.47e6  # provisional; see module docstring
 
+# Fail fast instead of hanging when the accelerator tunnel is down
+# (observed: jax.devices() blocks indefinitely while the remote TPU
+# terminal is unreachable). No number is fabricated — the process exits
+# nonzero so the failure is recorded as a failure.
+_WATCHDOG_S = float(os.environ.get('NFI_BENCH_WATCHDOG_S', '600'))
+_ready = threading.Event()
+
+
+def _watchdog():
+    if not _ready.wait(_WATCHDOG_S):
+        print(f'bench: accelerator not reachable within {_WATCHDOG_S:.0f}s '
+              '(TPU tunnel down?); aborting', file=sys.stderr, flush=True)
+        os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
 
 def main():
+    jax.devices()  # blocks while the tunnel is down; watchdog bounds it
+    _ready.set()
     from nerf_from_image_tpu.models.generator import Generator
     from nerf_from_image_tpu.render import render
 
