@@ -157,9 +157,15 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
 
     report_dir_eff = os.path.join(report_dir, args.resume_from or
                                   experiment_name, cfg_string)
+    # Host-side artifacts (tensorboard, report files, demo strips) are
+    # process-0 only on multi-host runs; every process computes the same
+    # replicated values (parallel/distributed.py contract).
+    from nerf_from_image_tpu.parallel import distributed as dist
     from nerf_from_image_tpu.utils import io as io_lib
-    io_lib.mkdir(report_dir_eff)
-    writer = SummaryWriter(report_dir_eff)
+    main_proc = dist.is_main_process()
+    if main_proc:
+        io_lib.mkdir(report_dir_eff)
+    writer = SummaryWriter(report_dir_eff) if main_proc else None
 
     gen, _ = gan_lib.make_models(gan_cfg)
     gen_vars = state.ema_params_g
@@ -417,11 +423,13 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
               f'({(t2 - t1) / valid:.2f} s/img)')
 
         if args.inv_export_demo_sample:
-            export_demo(args, ctx, inv_cfg, params, target_img, coords,
-                        mask, dataset_config, niter, mesh=mesh)
+            if main_proc:
+                export_demo(args, ctx, inv_cfg, params, target_img, coords,
+                            mask, dataset_config, niter, mesh=mesh)
             break
 
-        if idx % 512 == 0 and not args.inv_export_demo_sample:
+        if (idx % 512 == 0 and main_proc
+                and not args.inv_export_demo_sample):
             pipe.save_report_checkpoint(report_ckpt_path, report, idx,
                                         np.asarray(key))
 
@@ -430,9 +438,10 @@ def run_inversion_cli(args, gan_cfg, dataset_config, state, train_split,
             report, train_eval_split.fid_stats,
             test_split.fid_stats if use_testset and test_split is not None
             else None, writer=writer)
-        print(report_str)
-        pipe.save_report(report, report_str, report_dir_eff,
-                         header=f'{args.resume_from}\n{cfg_string}')
+        if main_proc:
+            print(report_str)
+            pipe.save_report(report, report_str, report_dir_eff,
+                             header=f'{args.resume_from}\n{cfg_string}')
 
 
 def load_lpips_vars(args, lpips):

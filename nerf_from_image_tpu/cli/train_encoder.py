@@ -54,6 +54,7 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
 
     from nerf_from_image_tpu import config as config_lib
     from nerf_from_image_tpu.models.encoder import BootstrapEncoder
+    from nerf_from_image_tpu.parallel import distributed as dist
     from nerf_from_image_tpu.parallel import mesh as mesh_lib
     from nerf_from_image_tpu.train import encoder as enc_lib
     from nerf_from_image_tpu.utils import checkpoint as ckpt_lib
@@ -92,6 +93,11 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
               'starts from mit_b5.pth — see SETUP.md)')
 
     state = mesh_lib.replicate(state, mesh)
+
+    # Checkpoint writes are process-0 only on multi-host runs
+    # (parallel/distributed.py contract); all processes compute and
+    # restore identically.
+    main_proc = dist.is_main_process()
 
     rng_np = np.random.RandomState(1234)
     sampler = EndlessSampler(len(train_split.images), rng_np)
@@ -137,12 +143,14 @@ def train_coord_regressor(args, gan_cfg, gen, gen_vars, train_split, mesh,
             if writer is not None:
                 for k, v in metrics.items():
                     writer.add_scalar(f'coord_regressor/{k}', float(v), i)
-        if i % 10000 == 0:
+        if i % 10000 == 0 and main_proc:
             hs = ckpt_lib.pack_host_state(rng_np, sampler)
             ckpt_manager.save(state, 'enc_latest', host_state=hs)
             if i % 20000 == 0:
                 ckpt_manager.save(state, f'enc_{i}', host_state=hs)
 
-    ckpt_manager.save(state, 'enc_latest',
-                      host_state=ckpt_lib.pack_host_state(rng_np, sampler))
+    if main_proc:
+        ckpt_manager.save(state, 'enc_latest',
+                          host_state=ckpt_lib.pack_host_state(rng_np,
+                                                              sampler))
     return state.params
