@@ -185,7 +185,8 @@ def main(argv=None):
         clip_gradient_norm=args.clip_gradient_norm,
         lr_g=args.lr_g, lr_d=args.lr_d, batch_size=args.batch_size,
         use_pallas=bool(args.use_pallas),
-        plane_resolution=args.plane_resolution)
+        plane_resolution=args.plane_resolution,
+        use_stylegan_noise=not args.disable_stylegan_noise)
 
     ckpt = ckpt_lib.CheckpointManager(checkpoint_dir)
     state = jax.jit(lambda k: gan_lib.init_train_state(

@@ -71,7 +71,13 @@ def make_camera(params: InversionParams, camera_flipped: bool):
 def render_from_params(gen: Generator, gen_vars, params: InversionParams,
                        cfg: InversionConfig, center=None, bbox=None,
                        compute_normals=False, compute_semantics=False,
-                       override_cam=None, ray_sharding=None):
+                       override_cam=None, ray_sharding=None,
+                       noise_rng=None):
+    """noise_rng: per-step StyleGAN noise key for noise-enabled models
+    (cub/imagenet_elephant). The refinement loss passes one (the reference
+    re-rolls noise every forward); the jitted bookend/demo renders pass
+    None, which resolves to the deterministic 'const' noise buffer — a
+    documented deviation from the reference's stochastic eval renders."""
     cam, focal = make_camera(params, cfg.camera_flipped)
     if override_cam is not None:
         cam = override_cam
@@ -79,7 +85,8 @@ def render_from_params(gen: Generator, gen_vars, params: InversionParams,
     if ws.shape[1] == 1:
         num_ws = 14 + (1 if gen.attention_values > 0 else 0)
         ws = jnp.broadcast_to(ws, (ws.shape[0], num_ws, ws.shape[-1]))
-    state = gen.apply(gen_vars, ws, method=Generator.synthesize)
+    state = gen.apply(gen_vars, ws, noise_rng=noise_rng,
+                      method=Generator.synthesize)
 
     def sample_fn(pts, reqs):
         return gen.apply(gen_vars, state, pts, reqs, method=Generator.sample)
@@ -98,7 +105,9 @@ def inversion_loss(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
                    params: InversionParams, target_img: jnp.ndarray,
                    cfg: InversionConfig, rng: jax.Array):
     """Loss of run.py:2202-2254. target_img: (B, H, W, 3+) in [-1, 1]."""
-    out, cam, focal = render_from_params(gen, gen_vars, params, cfg)
+    rng, rng_sgnoise = jax.random.split(rng)
+    out, cam, focal = render_from_params(gen, gen_vars, params, cfg,
+                                         noise_rng=rng_sgnoise)
     pred = out.rgb  # (B, H, W, 3)
     target = target_img[..., :3]
 

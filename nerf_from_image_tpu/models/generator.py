@@ -288,6 +288,14 @@ class Generator(nn.Module):
     use_sdf: bool = True
     num_classes: Optional[int] = None
     img_resolution: int = 256
+    # StyleGAN per-layer noise injection. The reference disables it by
+    # default (arguments.py:150's always-True `--disable_stylegan_noise`
+    # quirk) and re-enables it for cub / imagenet_elephant
+    # (data/loaders.py:93,106); when enabled, every forward uses fresh
+    # random noise (generator.py:472's 'const' branch is dead — no caller
+    # sets freeze_noise). Here: noise_mode=None resolves to 'random' when
+    # a noise_rng is supplied, else 'const' (deterministic jitted renders).
+    use_stylegan_noise: bool = False
     # Windowed Pallas triplane sampler for structured (B, H, W, S, 3)
     # point grids (inference path; the VJP for training stays XLA).
     use_pallas: bool = False
@@ -355,14 +363,24 @@ class Generator(nn.Module):
 
     # ---- Synthesis -------------------------------------------------------
 
-    def synthesize_planes(self, ws, noise_mode='none', noise_rng=None):
+    def resolve_noise_mode(self, noise_mode, noise_rng):
+        """noise_mode=None -> the model's construction-time policy (see the
+        use_stylegan_noise field). Explicit modes pass through."""
+        if noise_mode is not None:
+            return noise_mode
+        if not self.use_stylegan_noise:
+            return 'none'
+        return 'random' if noise_rng is not None else 'const'
+
+    def synthesize_planes(self, ws, noise_mode=None, noise_rng=None):
         """ws for the synthesis backbone (first 14) -> triplanes."""
+        noise_mode = self.resolve_noise_mode(noise_mode, noise_rng)
         planes = self.synthesis_network(ws, noise_mode=noise_mode,
                                         noise_rng=noise_rng)
         b = ws.shape[0]
         return planes.reshape(b, 3, 32, planes.shape[-2], planes.shape[-1])
 
-    def synthesize(self, ws, viewdirs=None, noise_mode='none', noise_rng=None,
+    def synthesize(self, ws, viewdirs=None, noise_mode=None, noise_rng=None,
                    attention_values_override=None,
                    attention_values_bias=None):
         """Full forward to a GeneratorState (generator.py:407-503)."""

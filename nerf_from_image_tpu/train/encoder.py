@@ -70,8 +70,12 @@ def render_distillation_targets(gen: Generator, ema_params, z, pose, focal,
                                 center, bbox, cfg: EncoderConfig, rng):
     """Frozen-EMA render of (image, mask, canonical coords)
     (run.py:1630-1647)."""
+    rng, rng_sgnoise = jax.random.split(rng)
     ws = gen.apply(ema_params, z, method=Generator.map)
-    state = gen.apply(ema_params, ws, method=Generator.synthesize)
+    # Fresh StyleGAN noise per distillation render for noise-enabled models
+    # (reference run.py:1639-1647 renders with default noise_mode='random').
+    state = gen.apply(ema_params, ws, noise_rng=rng_sgnoise,
+                      method=Generator.synthesize)
 
     def sample_fn(pts, reqs):
         return gen.apply(ema_params, state, pts, reqs,

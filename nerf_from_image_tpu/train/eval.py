@@ -184,7 +184,8 @@ class GANEvaluator:
         cfg = self.cfg
 
         def forward(ema_params, z, pose, focal, center, bbox, image_emb,
-                    class_label, compute_normals, compute_semantics):
+                    class_label, noise_rng, compute_normals,
+                    compute_semantics):
             c = None
             if self.use_encoder and image_emb is not None:
                 c = gen.apply(ema_params, image_emb,
@@ -193,7 +194,11 @@ class GANEvaluator:
                 c = gen.apply(ema_params, class_label,
                               method=Generator.embed_class)
             ws = gen.apply(ema_params, z, c, method=Generator.map)
-            state = gen.apply(ema_params, ws, method=Generator.synthesize)
+            # noise_rng: fresh per-batch StyleGAN noise for noise-enabled
+            # models (the reference's eval renders run the default
+            # noise_mode='random' forward); dead input otherwise.
+            state = gen.apply(ema_params, ws, noise_rng=noise_rng,
+                              method=Generator.synthesize)
 
             def sample_fn(pts, reqs):
                 return gen.apply(ema_params, state, pts, reqs,
@@ -286,8 +291,10 @@ class GANEvaluator:
                           iteration)
         for tag, params in (('rgb', state.params_g),
                             ('inference', state.ema_params_g)):
+            noise_rng = jax.random.fold_in(jax.random.PRNGKey(4242),
+                                           iteration)
             out = self._render_fn(params, z, pose, focal, center, bbox,
-                                  image_emb, class_label,
+                                  image_emb, class_label, noise_rng,
                                   bool(cfg.use_sdf),
                                   bool(cfg.attention_values > 0))
             rgb = np.asarray(
@@ -369,9 +376,11 @@ class GANEvaluator:
                 class_label = jnp.asarray(split.classes[idx_])
 
             first = start == 0
+            noise_rng = jax.random.fold_in(
+                jax.random.PRNGKey(2424), iteration * 1000003 + start)
             out = self._render_fn(
                 state.ema_params_g, z, pose, focal, center, bbox,
-                image_emb, class_label,
+                image_emb, class_label, noise_rng,
                 bool(cfg.use_sdf and first),
                 bool(cfg.attention_values > 0 and first))
             rgb = jnp.clip(out.rgb, -1, 1).transpose(0, 3, 1, 2) / 2 + 0.5

@@ -128,6 +128,9 @@ class GANConfig:
     use_pallas: bool = True  # windowed triplane sampler in train steps
     plane_resolution: int = 256  # StyleGAN synthesis output resolution
     ema_halflife_kimg: float = 10.0  # alpha = 0.5 ** (32 / 10000)
+    # = not --disable_stylegan_noise: per-layer synthesis noise, enabled by
+    # the cub / imagenet_elephant dataset overrides (data/loaders.py:93,106).
+    use_stylegan_noise: bool = False
 
 
 def make_models(cfg: GANConfig, dtype=jnp.float32):
@@ -137,6 +140,7 @@ def make_models(cfg: GANConfig, dtype=jnp.float32):
                     use_encoder=cfg.use_encoder,
                     num_classes=cfg.num_classes if cfg.use_class else None,
                     use_pallas=cfg.use_pallas,
+                    use_stylegan_noise=cfg.use_stylegan_noise,
                     img_resolution=cfg.plane_resolution, dtype=dtype)
     disc = Discriminator(resolution=cfg.resolution,
                          nc=4 if cfg.supervise_alpha else 3,
@@ -312,11 +316,16 @@ def embed_condition(gen: Generator, params_g, cfg: GANConfig, batch):
 def generator_forward(gen: Generator, params_g, z, pose, focal, center,
                       bbox, cfg: GANConfig, rng, requests=(), cond=None):
     """Maps z, synthesizes, renders. Returns (RenderOutput, extra dict)."""
-    rng_noise, rng_render, rng_reg = jax.random.split(rng, 3)
+    rng_noise, rng_render, rng_reg, rng_sgnoise = jax.random.split(rng, 4)
     ws = gen.apply(params_g, z, cond, method=Generator.map)
     # Viewdirs are produced by the renderer; for viewdir models we render
     # with the normalized ray directions (set below via closure).
-    state = gen.apply(params_g, ws, method=Generator.synthesize)
+    # rng_sgnoise: fresh per-layer StyleGAN noise on every forward for
+    # noise-enabled models (cub/imagenet_elephant; run.py default
+    # noise_mode='random', stylegan.py:325). Ignored when the model was
+    # built with use_stylegan_noise=False (all other datasets).
+    state = gen.apply(params_g, ws, noise_rng=rng_sgnoise,
+                      method=Generator.synthesize)
 
     def sample_fn(pts, reqs):
         # coord_grads=False: in the G/D steps poses/focals are input
@@ -350,7 +359,10 @@ def generator_forward(gen: Generator, params_g, z, pose, focal, center,
         k1, k2 = jax.random.split(rng_noise)
 
         def pl_target(ws_in):
-            st = gen.apply(params_g, ws_in, method=Generator.synthesize)
+            # Same noise as the main forward: the reference's PPL grad flows
+            # through the one synthesis pass that already ran.
+            st = gen.apply(params_g, ws_in, noise_rng=rng_sgnoise,
+                           method=Generator.synthesize)
             noise = jax.random.normal(k1, st.planes.shape) / math.sqrt(
                 st.planes.shape[-2] * st.planes.shape[-1])
             total = jnp.sum(st.planes * noise)

@@ -26,13 +26,16 @@ def pretrain_sdf(state: gan_lib.GANTrainState, cfg: gan_lib.GANConfig,
 
     def one_step(carry, rng):
         params, opt_state = carry
-        rng_z, rng_reg = jax.random.split(rng)
+        rng_z, rng_reg, rng_sgnoise = jax.random.split(rng, 3)
         z = jax.random.normal(rng_z, (cfg.batch_size, cfg.latent_dim))
 
         def loss_fn(p):
             ws = gen.apply(p, z, method=Generator.map)
+            # noise-enabled models pretrain with fresh noise too
+            # (reference pretrain_sdf runs the default 'random' forward).
             planes = gen.apply(p, ws[:, :14] if cfg.attention_values > 0
-                               else ws, method=Generator.synthesize_planes)
+                               else ws, noise_rng=rng_sgnoise,
+                               method=Generator.synthesize_planes)
             losses = gen.apply(p, planes, rng_reg,
                                ('sdf_distance_loss', 'sdf_eikonal_loss'),
                                32, method=Generator.sdf_losses)

@@ -89,8 +89,14 @@ def convert_mapping(sd: Dict[str, np.ndarray],
 
 
 def convert_synthesis(sd: Dict[str, np.ndarray],
-                      prefix: str = '') -> Dict[str, Any]:
-    """stylegan.SynthesisNetwork state dict -> flax params."""
+                      prefix: str = '',
+                      buffers_out: Dict[str, Any] = None) -> Dict[str, Any]:
+    """stylegan.SynthesisNetwork state dict -> flax params.
+
+    buffers_out: optional dict populated with the per-layer `noise_const`
+    buffers (stylegan.py:319-320), mirroring the params tree layout, so
+    noise-enabled checkpoints (cub/imagenet_elephant) keep the reference's
+    frozen noise for the deterministic 'const' render mode."""
     syn: Dict[str, Any] = {}
     resolutions = sorted({
         int(m.group(1)) for k in sd
@@ -111,6 +117,10 @@ def convert_synthesis(sd: Dict[str, np.ndarray],
             }
             if f'{base}.{conv}.noise_strength' in sd:
                 c['noise_strength'] = sd[f'{base}.{conv}.noise_strength']
+            if (buffers_out is not None and
+                    f'{base}.{conv}.noise_const' in sd):
+                buffers_out.setdefault(f'b{res}', {})[conv] = {
+                    'noise_const': sd[f'{base}.{conv}.noise_const']}
             blk[conv] = c
         blk['torgb'] = {
             'weight': sd[f'{base}.torgb.weight'],
@@ -183,7 +193,9 @@ def convert_generator(sd: Dict[str, np.ndarray],
     p: Dict[str, Any] = {}
 
     p['mapping_network'] = convert_mapping(sd, 'mapping_network.backbone.')
-    p['synthesis_network'] = convert_synthesis(sd, 'synthesis_network.')
+    syn_buffers: Dict[str, Any] = {}
+    p['synthesis_network'] = convert_synthesis(sd, 'synthesis_network.',
+                                               buffers_out=syn_buffers)
 
     # Triplanar decoder (net.0 / net.2).
     p['decoder'] = {
@@ -201,7 +213,10 @@ def convert_generator(sd: Dict[str, np.ndarray],
     if use_viewdir:
         p['viewdir_mapper'] = convert_viewdir_mapper(sd, 'viewdir_mapper.')
 
-    return {'params': p}
+    out = {'params': p}
+    if syn_buffers:
+        out['buffers'] = {'synthesis_network': syn_buffers}
+    return out
 
 
 # ---------------------------------------------------------------------------
