@@ -61,6 +61,23 @@ def test_log_train_scalars_families():
     assert w.tags['sdf/beta'][0] == 0.1
 
 
+def test_broken_image_sink_warns_once(tmp_path, capsys, monkeypatch):
+    """A broken image path must print exactly one warning, not silently
+    drop every image (reference crashes loudly; we warn-and-continue)."""
+    from nerf_from_image_tpu.utils import logging as log_lib
+
+    w = log_lib.SummaryWriter(str(tmp_path / 'logs'))
+    # Force the PNG fallback path and make it fail.
+    w._tb = None
+    monkeypatch.setitem(__import__('sys').modules, 'PIL', None)
+    bad = np.zeros((1, 3, 4, 4), np.float32)
+    w.add_images('img/front', bad, 0)
+    w.add_images('img/front', bad, 1)
+    err = capsys.readouterr().err
+    assert err.count('Image logging failed') == 1
+    w.close()
+
+
 def test_inversion_monitor_and_report_tags():
     """The inversion loop writes monitor_b0/{psnr,lpips,rot_error} per
     step and report/* at consolidation (run.py:2288-2306, 2366-2386)."""
