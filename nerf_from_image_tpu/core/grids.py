@@ -72,7 +72,9 @@ def sample_volume_stratified(
     """Stratified samples over [-scene_range, scene_range]^3.
 
     Returns (B, (nstrata-1)^3, 3); one uniform jitter per cell (matches
-    lib/ops.py:20-26).
+    lib/ops.py:20-26). `rng` may be a precomputed float array of jitter
+    with the (B, n, n, n, 3) cell shape (trajectory-parity injection of
+    the reference's torch.rand_like draw, ops.py:25).
     """
     n = nstrata - 1
     ax = jnp.arange(n, dtype=dtype)
@@ -80,7 +82,10 @@ def sample_volume_stratified(
     gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing='xy')
     bins = jnp.stack((gx, gy, gz), axis=-1)[None]
     bins = jnp.broadcast_to(bins, (batch_size, n, n, n, 3))
-    jitter = jax.random.uniform(rng, bins.shape, dtype=dtype)
+    if jnp.issubdtype(rng.dtype, jnp.floating):
+        jitter = rng.reshape(bins.shape).astype(dtype)
+    else:
+        jitter = jax.random.uniform(rng, bins.shape, dtype=dtype)
     bins = ((bins + jitter) / n) * 2.0 - 1.0
     return bins.reshape(batch_size, n * n * n, 3) * scene_range
 

@@ -164,6 +164,9 @@ def compute_query_points_from_rays(
     """Stratified depth sampling along rays.
 
     depth_i = lerp(near, far, i / N) (+ U[0,1) * (far-near)/N if `rng`).
+    `rng` may also be a precomputed float array of uniform noise with
+    depth_values' shape (trajectory-parity injection: the reference's
+    torch.rand_like draw, nerf_utils.py:113-115, recorded and replayed).
     Returns (query_points (..., N, 3), depth_values (..., N)).
     """
     near_plane = near[..., None]
@@ -173,8 +176,12 @@ def compute_query_points_from_rays(
 
     if rng is not None:
         delta = (far_plane - near_plane) / num_samples
-        depth_values = depth_values + jax.random.uniform(
-            rng, depth_values.shape, dtype=depth_values.dtype) * delta
+        if jnp.issubdtype(rng.dtype, jnp.floating):
+            u = rng.reshape(depth_values.shape).astype(depth_values.dtype)
+        else:
+            u = jax.random.uniform(rng, depth_values.shape,
+                                   dtype=depth_values.dtype)
+        depth_values = depth_values + u * delta
 
     query_points = (ray_origins[..., None, :] +
                     ray_directions[..., None, :] * depth_values[..., :, None])

@@ -38,7 +38,10 @@ def sample_pdf(
         depth midpoints).
       weights: (..., K - 1) interval weights (the CDF then has K entries,
         aligned with `bins`).
-      rng: None -> deterministic linspace(0, 1) samples.
+      rng: None -> deterministic linspace(0, 1) samples. A float array of
+        shape (..., num_samples) is used directly as the uniform draws
+        (trajectory-parity injection of the reference's torch.rand,
+        nerf_utils.py:202-204).
 
     Returns:
       samples: (..., num_samples) depths, same dtype as `bins`.
@@ -52,6 +55,8 @@ def sample_pdf(
     if rng is None:
         u = jnp.linspace(0.0, 1.0, num_samples, dtype=jnp.float32)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
+    elif jnp.issubdtype(rng.dtype, jnp.floating):
+        u = rng.reshape(cdf.shape[:-1] + (num_samples,)).astype(jnp.float32)
     else:
         u = jax.random.uniform(rng, cdf.shape[:-1] + (num_samples,),
                                dtype=jnp.float32)

@@ -26,6 +26,8 @@ class Discriminator(nn.Module):
     conditional_pose: bool = True
     use_encoder: bool = False
     num_classes: Optional[int] = None
+    channel_base: int = 32768
+    channel_max: int = 512
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -42,7 +44,8 @@ class Discriminator(nn.Module):
             c_dim += 512
         self.backbone = stylegan.DiscriminatorBackbone(
             c_dim=c_dim, img_resolution=self.resolution,
-            img_channels=self.nc, dtype=self.dtype)
+            img_channels=self.nc, channel_base=self.channel_base,
+            channel_max=self.channel_max, dtype=self.dtype)
 
     def __call__(self, x, pose=None, image=None, focal=None):
         """x: (B, nc, H, W); pose: (B, 4, 4) cam2world; focal: (B,) or None."""

@@ -300,6 +300,11 @@ class Generator(nn.Module):
     # point grids (inference path; the VJP for training stays XLA).
     use_pallas: bool = False
     fuse_decode: bool = False  # in-kernel decoder tail (slower on v5e)
+    # StyleGAN channel scaling (stylegan.py:441-446 defaults); narrow
+    # values give tiny-but-structurally-identical models for CPU parity
+    # harnesses.
+    channel_base: int = 32768
+    channel_max: int = 512
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -317,6 +322,7 @@ class Generator(nn.Module):
             dtype=self.dtype)
         self.synthesis_network = stylegan.SynthesisNetwork(
             w_dim=w_dim, img_resolution=self.img_resolution, img_channels=96,
+            channel_base=self.channel_base, channel_max=self.channel_max,
             dtype=self.dtype)
         if self.use_viewdir:
             decoder_output_dim = 32
@@ -613,9 +619,18 @@ class Generator(nn.Module):
                    requests: Sequence[str] = ('sdf_eikonal_loss',),
                    nstrata: int = 32):
         """Eikonal/distance/TV/entropy losses on stratified volume samples
-        (generator.py:505-585)."""
+        (generator.py:505-585).
+
+        `rng` may be a dict of precomputed noise {'strata': uniform
+        (B, n, n, n, 3), 'perturb': normal (B, N, 3)} — trajectory-parity
+        injection of the reference's torch.rand_like/randn_like draws
+        (ops.py:25, generator.py:553-555)."""
         bs = planes.shape[0]
-        rng_strata, rng_perturb = jax.random.split(rng)
+        if isinstance(rng, dict):
+            rng_strata = rng['strata']
+            rng_perturb = rng.get('perturb')
+        else:
+            rng_strata, rng_perturb = jax.random.split(rng)
         bins_in = grids.sample_volume_stratified(rng_strata, bs, nstrata,
                                                  self.scene_range)
         outputs = {}
@@ -641,9 +656,13 @@ class Generator(nn.Module):
 
         if 'total_variation_loss' in requests or 'entropy_loss' in requests:
             if 'total_variation_loss' in requests:
+                if rng_perturb is not None and \
+                        jnp.issubdtype(rng_perturb.dtype, jnp.floating):
+                    pn = rng_perturb.reshape(bins_in.shape)
+                else:
+                    pn = jax.random.normal(rng_perturb, bins_in.shape)
                 perturbed = jax.lax.stop_gradient(bins_in) + \
-                    jax.random.normal(rng_perturb, bins_in.shape) * \
-                    0.004 * self.scene_range
+                    pn * 0.004 * self.scene_range
                 d_perturb = decode_d(perturbed)
             if self.use_sdf:
                 beta = self.beta

@@ -55,6 +55,11 @@ def render(
 ) -> RenderOutput:
     """Renders a batch of views. `rng=None` -> deterministic sampling.
 
+    `rng` may also be a dict of precomputed noise arrays
+    {'depth': uniform (B, H, W, S), 'pdf_u': uniform (B*H*W, S)} —
+    trajectory-parity injection of the reference's per-render torch.rand
+    draws (nerf_utils.py:113-115, 202-204).
+
     `ray_sharding`: optional NamedSharding for the (B, H, W, 3) ray
     tensors (e.g. parallel.ray_spec(mesh) with a 'rays' mesh axis).
     Rays are embarrassingly parallel (SURVEY §5): annotating them here
@@ -78,7 +83,10 @@ def render(
         jax.lax.stop_gradient(ray_directions), scene_range)
 
     rng_coarse = rng_fine = None
-    if rng is not None:
+    if isinstance(rng, dict):
+        rng_coarse = rng.get('depth')
+        rng_fine = rng.get('pdf_u')
+    elif rng is not None:
         rng_coarse, rng_fine = jax.random.split(rng)
 
     query_points, depth_values = rays_lib.compute_query_points_from_rays(

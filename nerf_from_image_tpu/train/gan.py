@@ -127,6 +127,8 @@ class GANConfig:
     batch_size: int = 32
     use_pallas: bool = True  # windowed triplane sampler in train steps
     plane_resolution: int = 256  # StyleGAN synthesis output resolution
+    channel_base: int = 32768  # StyleGAN channel scaling (both G and D)
+    channel_max: int = 512
     ema_halflife_kimg: float = 10.0  # alpha = 0.5 ** (32 / 10000)
     # = not --disable_stylegan_noise: per-layer synthesis noise, enabled by
     # the cub / imagenet_elephant dataset overrides (data/loaders.py:93,106).
@@ -141,14 +143,17 @@ def make_models(cfg: GANConfig, dtype=jnp.float32):
                     num_classes=cfg.num_classes if cfg.use_class else None,
                     use_pallas=cfg.use_pallas,
                     use_stylegan_noise=cfg.use_stylegan_noise,
-                    img_resolution=cfg.plane_resolution, dtype=dtype)
+                    img_resolution=cfg.plane_resolution,
+                    channel_base=cfg.channel_base,
+                    channel_max=cfg.channel_max, dtype=dtype)
     disc = Discriminator(resolution=cfg.resolution,
                          nc=4 if cfg.supervise_alpha else 3,
                          camera_flipped=cfg.camera_flipped,
                          conditional_pose=cfg.conditional_pose,
                          use_encoder=cfg.use_encoder,
                          num_classes=cfg.num_classes if cfg.use_class
-                         else None, dtype=dtype)
+                         else None, channel_base=cfg.channel_base,
+                         channel_max=cfg.channel_max, dtype=dtype)
     return gen, disc
 
 
@@ -172,7 +177,8 @@ def make_second_discriminator(cfg: GANConfig, dtype=jnp.float32):
                          conditional_pose=cfg.conditional_pose,
                          use_encoder=False,
                          num_classes=cfg.num_classes if cfg.use_class
-                         else None, dtype=dtype)
+                         else None, channel_base=cfg.channel_base,
+                         channel_max=cfg.channel_max, dtype=dtype)
 
 
 def _lr_schedule(base_lr: float):
@@ -314,8 +320,16 @@ def embed_condition(gen: Generator, params_g, cfg: GANConfig, batch):
 
 
 def generator_forward(gen: Generator, params_g, z, pose, focal, center,
-                      bbox, cfg: GANConfig, rng, requests=(), cond=None):
-    """Maps z, synthesizes, renders. Returns (RenderOutput, extra dict)."""
+                      bbox, cfg: GANConfig, rng, requests=(), cond=None,
+                      noise=None):
+    """Maps z, synthesizes, renders. Returns (RenderOutput, extra dict).
+
+    `noise`: optional dict of precomputed noise arrays replacing the
+    rng-derived draws (trajectory-parity injection; see
+    tests/test_reference_trajectory.py). Recognized keys: 'depth',
+    'pdf_u' (render), 'strata', 'perturb' (sdf_losses), 'ppl_planes',
+    'ppl_attn' (path length).
+    """
     rng_noise, rng_render, rng_reg, rng_sgnoise = jax.random.split(rng, 4)
     ws = gen.apply(params_g, z, cond, method=Generator.map)
     # Viewdirs are produced by the renderer; for viewdir models we render
@@ -338,9 +352,12 @@ def generator_forward(gen: Generator, params_g, z, pose, focal, center,
         return gen.apply(params_g, state, pts, reqs,
                          coord_grads=False, method=Generator.sample)
 
+    render_rng = rng_render
+    if noise is not None and ('depth' in noise or 'pdf_u' in noise):
+        render_rng = {k: noise[k] for k in ('depth', 'pdf_u') if k in noise}
     out = render(sample_fn, cfg.resolution, cfg.resolution, pose, focal,
                  center, bbox, cfg.scene_range, cfg.white_background,
-                 cfg.depth_samples_per_ray, rng=rng_render,
+                 cfg.depth_samples_per_ray, rng=render_rng,
                  fine_sampling=cfg.fine_sampling)
 
     extra = {}
@@ -348,8 +365,12 @@ def generator_forward(gen: Generator, params_g, z, pose, focal, center,
                          if r in ('sdf_eikonal_loss', 'sdf_distance_loss',
                                   'total_variation_loss', 'entropy_loss'))
     if reg_requests:
+        reg_rng = rng_reg
+        if noise is not None and 'strata' in noise:
+            reg_rng = {k: noise[k] for k in ('strata', 'perturb')
+                       if k in noise}
         extra.update(
-            gen.apply(params_g, state.planes, rng_reg, reg_requests,
+            gen.apply(params_g, state.planes, reg_rng, reg_requests,
                       method=Generator.sdf_losses))
 
     if 'path_length' in requests:
@@ -363,12 +384,19 @@ def generator_forward(gen: Generator, params_g, z, pose, focal, center,
             # through the one synthesis pass that already ran.
             st = gen.apply(params_g, ws_in, noise_rng=rng_sgnoise,
                            method=Generator.synthesize)
-            noise = jax.random.normal(k1, st.planes.shape) / math.sqrt(
-                st.planes.shape[-2] * st.planes.shape[-1])
-            total = jnp.sum(st.planes * noise)
+            if noise is not None and 'ppl_planes' in noise:
+                n1 = noise['ppl_planes'].reshape(st.planes.shape)
+            else:
+                n1 = jax.random.normal(k1, st.planes.shape)
+            n1 = n1 / math.sqrt(st.planes.shape[-2] * st.planes.shape[-1])
+            total = jnp.sum(st.planes * n1)
             if st.attention_values is not None:
-                noise2 = jax.random.normal(k2, st.attention_values.shape)
-                total = total + jnp.sum(st.attention_values * noise2)
+                if noise is not None and 'ppl_attn' in noise:
+                    n2 = noise['ppl_attn'].reshape(
+                        st.attention_values.shape)
+                else:
+                    n2 = jax.random.normal(k2, st.attention_values.shape)
+                total = total + jnp.sum(st.attention_values * n2)
             return total
 
         pl_grad = jax.grad(pl_target)(ws)
@@ -430,7 +458,8 @@ def g_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
         cond = embed_condition(gen, params_g, cfg, batch)
         out, extra = generator_forward(gen, params_g, batch['z'], pose,
                                        focal, center, bbox, cfg, rng_fwd,
-                                       tuple(requests), cond=cond)
+                                       tuple(requests), cond=cond,
+                                       noise=batch.get('noise'))
         rgb = out.rgb
         if cfg.supervise_alpha:
             rgb = jnp.concatenate((rgb, out.mask[..., None]), axis=-1)
@@ -459,7 +488,8 @@ def g_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
             out2, _ = generator_forward(gen, params_g, batch['z'], pose2,
                                         focal2, batch2.get('center'),
                                         batch2.get('bbox'), cfg, rng_fwd2,
-                                        (), cond=cond)
+                                        (), cond=cond,
+                                        noise=batch2.get('noise'))
             rgb2 = out2.rgb
             if cfg.supervise_alpha:
                 rgb2 = jnp.concatenate((rgb2, out2.mask[..., None]),
@@ -571,7 +601,8 @@ def _render_fake(state, fake_batch, gen, cfg, rng_fake, rng_aug,
                                     pose_f, focal_f,
                                     fake_batch.get('center'),
                                     fake_batch.get('bbox'), cfg, rng_fake,
-                                    cond=cond)
+                                    cond=cond,
+                                    noise=fake_batch.get('noise'))
     rgb_fake = out_fake.rgb
     if cfg.supervise_alpha:
         rgb_fake = jnp.concatenate((rgb_fake, out_fake.mask[..., None]),
