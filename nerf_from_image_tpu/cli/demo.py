@@ -19,8 +19,67 @@ from typing import Callable, Optional
 import numpy as np
 
 
+def select_largest_of_class(pred_classes: np.ndarray,
+                            pred_masks: np.ndarray,
+                            coco_class_id: int) -> np.ndarray:
+    """Reference instance selection (lib/utils.py:147-153): among
+    detections OF THE REQUESTED COCO CLASS, pick the largest mask.
+    Raises when the class is absent — the reference errors rather than
+    silently segmenting the wrong object."""
+    pred_classes = np.asarray(pred_classes)
+    pred_masks = np.asarray(pred_masks)
+    keep = np.where(pred_classes == coco_class_id)[0]
+    if len(keep) == 0:
+        raise RuntimeError(
+            'Could not detect any object of COCO class '
+            f'{coco_class_id} in the provided image')
+    areas = pred_masks[keep].reshape(len(keep), -1).sum(axis=1)
+    return pred_masks[keep[int(np.argmax(areas))]].astype(np.float64)
+
+
+def detectron2_segment(img: np.ndarray,
+                       coco_class_id: int) -> Optional[np.ndarray]:
+    """Class-aware instance segmentation via detectron2 Mask R-CNN with
+    the reference's exact config and selection semantics
+    (lib/utils.py:116-160). Returns None when detectron2 is not
+    installed (callers fall through to the next mask source)."""
+    try:
+        import detectron2  # noqa: F401
+        import detectron2.config
+        import detectron2.engine
+        import detectron2.model_zoo
+    except ImportError:
+        return None
+    cfg_file = 'COCO-InstanceSegmentation/mask_rcnn_X_101_32x8d_FPN_3x.yaml'
+    cfg = detectron2.config.get_cfg()
+    cfg.merge_from_file(detectron2.model_zoo.get_config_file(cfg_file))
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.5
+    cfg.MODEL.WEIGHTS = detectron2.model_zoo.get_checkpoint_url(cfg_file)
+    predictor = detectron2.engine.DefaultPredictor(cfg)
+    img8 = np.ascontiguousarray(
+        np.clip(np.asarray(img[..., :3], np.float64), 0, 1) * 255
+    ).astype(np.uint8)
+    out = predictor(img8[:, :, ::-1])['instances']
+    return select_largest_of_class(out.pred_classes.cpu().numpy(),
+                                   out.pred_masks.cpu().numpy(),
+                                   coco_class_id)
+
+
+def load_mask_file(path: str, image_shape) -> np.ndarray:
+    """External mask file: grayscale/binary image, or RGBA (alpha used)."""
+    from nerf_from_image_tpu.data.datasets import imread
+    m = np.asarray(imread(path), np.float64)
+    if m.ndim == 3:
+        m = m[..., 3] if m.shape[-1] == 4 else m.mean(axis=-1)
+    if m.shape != tuple(image_shape[:2]):
+        raise ValueError(f'mask shape {m.shape} does not match image '
+                         f'{tuple(image_shape[:2])}')
+    return (m > 0.5).astype(np.float64)
+
+
 def load_manual_image(path_or_url: str, coco_class_id: int,
-                      segment_fn: Optional[Callable] = None) -> dict:
+                      segment_fn: Optional[Callable] = None,
+                      mask_path: Optional[str] = None) -> dict:
     if path_or_url.startswith(('http://', 'https://')):
         # The reference accepts URLs here (lib/utils.py:116-160).
         import tempfile
@@ -42,18 +101,38 @@ def load_manual_image(path_or_url: str, coco_class_id: int,
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=2)
 
+    # Mask source precedence (most to least class-aware; each path is
+    # announced so the user knows which semantics applied):
+    # 1. explicit mask file  2. segment_fn (defaults to detectron2 Mask
+    # R-CNN with the reference's class-filtered largest-instance rule)
+    # 3. RGBA alpha  4. GrabCut class-agnostic foreground (last resort)
+    # 5. full-frame.
     mask = None
-    if segment_fn is not None:
-        mask = segment_fn(img, coco_class_id)
+    if mask_path:
+        mask = load_mask_file(mask_path, img.shape)
+        print(f'Using external mask file {mask_path}.')
+    if mask is None:
+        fn = segment_fn if segment_fn is not None else detectron2_segment
+        mask = fn(img, coco_class_id)
+        if mask is not None:
+            which = ('provided segment_fn' if segment_fn is not None
+                     else 'detectron2 Mask R-CNN')
+            print(f'Using {which} instance segmentation for COCO class '
+                  f'{coco_class_id} (largest instance of the class, '
+                  'lib/utils.py:147-153 semantics).')
     if mask is None and img.shape[-1] == 4:
         mask = (img[..., 3] > 0.5).astype(np.float64)
         img = img[..., :3]
+        print('Using the alpha channel as the foreground mask.')
     if mask is None:
         mask = grabcut_foreground(img)
         if mask is not None:
-            print('Using GrabCut foreground segmentation (no instance-'
-                  'segmentation model available; reference uses Mask '
-                  'R-CNN, lib/utils.py:116-160).')
+            print('WARNING: using CLASS-AGNOSTIC GrabCut foreground '
+                  f'segmentation — the requested COCO class '
+                  f'{coco_class_id} is not honored (no instance-'
+                  'segmentation model installed; the reference uses Mask '
+                  'R-CNN, lib/utils.py:116-160). Pass --inv_manual_mask_'
+                  'path or install detectron2 for class-aware masks.')
     if mask is None:
         print('WARNING: no segmentation available; using a full-frame '
               'mask. Provide an RGBA image for best results.')

@@ -138,7 +138,8 @@ def main(argv=None):
         from nerf_from_image_tpu.cli.demo import load_manual_image
         manual_image = load_manual_image(
             args.inv_manual_input_path,
-            config_lib.get_coco_mapping()[args.dataset])
+            config_lib.get_coco_mapping()[args.dataset],
+            mask_path=getattr(args, 'inv_manual_mask_path', None))
 
     print('Loading data...')
     dataset_config, train_split, train_eval_split, test_split = \

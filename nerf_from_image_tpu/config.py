@@ -77,6 +77,10 @@ def parse_args(argv=None):
     parser.add_argument('--inv_encoder_only', action='store_true')
     parser.add_argument('--inv_export_demo_sample', action='store_true')
     parser.add_argument('--inv_manual_input_path', type=str)
+    # Extension: explicit foreground mask for the manual input image
+    # (same size, grayscale/binary or RGBA-alpha). Takes precedence over
+    # instance segmentation / GrabCut in cli/demo.py.
+    parser.add_argument('--inv_manual_mask_path', type=str)
     parser.add_argument('--coord_resume_from', type=str)
 
     # TPU-framework extensions (not present in the reference).

@@ -124,6 +124,10 @@ class GANConfig:
     clip_gradient_norm: float = 100.0
     lr_g: float = 0.0025
     lr_d: float = 0.002
+    # The reference runs lr warmup only on fresh runs; a resumed run uses
+    # the checkpoint's lr directly (run.py:668-676: `lr_warmup = False`
+    # when resume_from is not None).
+    lr_warmup: bool = True
     batch_size: int = 32
     use_pallas: bool = True  # windowed triplane sampler in train steps
     plane_resolution: int = 256  # StyleGAN synthesis output resolution
@@ -191,13 +195,15 @@ def _lr_schedule(base_lr: float):
 
 
 def make_optimizers(cfg: GANConfig):
+    lr_g = _lr_schedule(cfg.lr_g) if cfg.lr_warmup else cfg.lr_g
+    lr_d = _lr_schedule(cfg.lr_d) if cfg.lr_warmup else cfg.lr_d
     opt_g = optax.chain(
         optax.clip_by_global_norm(cfg.clip_gradient_norm),
-        optax.adam(_lr_schedule(cfg.lr_g), b1=0.0, b2=0.99),
+        optax.adam(lr_g, b1=0.0, b2=0.99),
     )
     opt_d = optax.chain(
         optax.clip_by_global_norm(cfg.clip_gradient_norm),
-        optax.adam(_lr_schedule(cfg.lr_d), b1=0.0, b2=0.99),
+        optax.adam(lr_d, b1=0.0, b2=0.99),
     )
     return opt_g, opt_d
 

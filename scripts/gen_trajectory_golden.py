@@ -1,0 +1,236 @@
+"""Generates the reference-trajectory parity golden (VERDICT r2 next #1).
+
+Runs the REAL /root/reference/run.py (via scripts/ref_runner.py) for 3
+GAN training iterations (G, D+R1, G) on a synthetic CARLA-format fixture
+with a narrow-channel model, capturing:
+- the init checkpoint (built here, loaded by run.py via --resume_from),
+- every RNG draw (substituted with numpy-seeded values; see ref_runner),
+- the per-iteration tensorboard scalars (loss/g, grad_norm/g,
+  loss/eikonal, loss/tv, loss/entropy, sdf/{alpha,beta}, loss/d_real,
+  loss/d_fake, loss/r1, grad_norm/d).
+
+tests/test_reference_trajectory.py replays the identical trajectory
+through the rebuild's jitted g_step/d_step (converted init weights +
+injected noise) and asserts the scalar trajectories match. Reference
+semantics exercised end-to-end: run.py:947-1193 (G/D steps), 872-905
+(resume), 662-676 (no lr warmup on resume).
+
+Usage: python scripts/gen_trajectory_golden.py
+Writes tests/golden/trajectory_gan.npz.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = os.environ.get('REF_PATH', '/root/reference')
+STUBS = os.path.join(REPO, 'scripts', 'ref_stubs')
+
+# Trajectory config (mirrored exactly by the rebuild test).
+CFG = dict(
+    dataset='carla',
+    n_images=8,
+    resolution=32,
+    batch_size=4,
+    latent_dim=64,
+    iterations=3,
+    channel_base=2048,
+    channel_max=64,
+    lr_g=0.0025,
+    lr_d=0.002,
+    r1=5.0,
+    tv=0.5,
+    entropy=0.05,
+    eikonal=0.1,
+    scene_range=3.0,
+    white_background=True,
+    focal_px=38.4,  # focal in pixels at 32px -> normalized 1.2
+)
+
+
+def make_dataset(data_dir, rng):
+    """Synthetic CARLA-format fixture: pngs + per-image extrinsics +
+    shared intrinsics (reference data/datasets.py:718-760)."""
+    from PIL import Image
+    carla = os.path.join(data_dir, 'carla')
+    poses_dir = os.path.join(carla, 'carla_poses')
+    os.makedirs(poses_dir)
+    res = CFG['resolution']
+
+    images_u8 = rng.randint(0, 256, (CFG['n_images'], res, res, 3),
+                            dtype=np.uint8)
+    poses = []
+    for i in range(CFG['n_images']):
+        Image.fromarray(images_u8[i]).save(
+            os.path.join(carla, f'{i:04d}.png'))
+        # Camera on a jittered ring at radius 10 looking at the origin.
+        theta = 2 * np.pi * i / CFG['n_images'] + rng.uniform(-0.1, 0.1)
+        phi = rng.uniform(0.2, 0.7)
+        eye = 10.0 * np.array([np.cos(theta) * np.cos(phi),
+                               np.sin(phi),
+                               np.sin(theta) * np.cos(phi)])
+        z_axis = eye / np.linalg.norm(eye)  # camera +z away from target
+        up = np.array([0.0, 1.0, 0.0])
+        x_axis = np.cross(up, z_axis)
+        x_axis /= np.linalg.norm(x_axis)
+        y_axis = np.cross(z_axis, x_axis)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = (
+            x_axis, y_axis, z_axis, eye)
+        poses.append(c2w)
+        np.save(os.path.join(poses_dir, f'{i:04d}_extrinsics.npy'),
+                c2w[:3].astype(np.float32))
+    intr = np.zeros((1, 1, 3, 3), np.float32)
+    intr[0, 0, 0, 0] = CFG['focal_px']
+    intr[0, 0, 0, 2] = res / 2
+    intr[0, 0, 1, 2] = res / 2
+    np.save(os.path.join(poses_dir, 'intrinsics.npy'), intr)
+
+    images_f = images_u8.astype(np.float32) / 255.0 * 2.0 - 1.0
+    return images_f, np.stack(poses), np.float32(CFG['focal_px'] / res)
+
+
+def build_init_checkpoint(path):
+    """Init checkpoint in the reference's on-disk format, with the same
+    narrow-channel surgery ref_runner applies (run.py loads it via
+    --resume_from, restoring weights + fresh Adam states +
+    iteration 0; resume also disables lr warmup, run.py:668-676)."""
+    sys.path.insert(0, STUBS)
+    sys.path.insert(0, REF)
+    import torch
+    from models import stylegan as ref_sg
+
+    def narrowed(cls):
+        class Narrow(cls):
+            def __init__(self, *a, **kw):
+                kw.setdefault('channel_base', CFG['channel_base'])
+                kw.setdefault('channel_max', CFG['channel_max'])
+                super().__init__(*a, **kw)
+        return Narrow
+
+    ref_sg.SynthesisNetwork = narrowed(ref_sg.SynthesisNetwork)
+    ref_sg.DiscriminatorBackbone = narrowed(ref_sg.DiscriminatorBackbone)
+
+    from models import generator as ref_gen
+    from models import discriminator as ref_disc
+    from data import loaders as ref_loaders
+
+    torch.manual_seed(99)
+    dataset_config = ref_loaders.get_dataset_config(CFG['dataset'])
+    model = ref_gen.Generator(CFG['latent_dim'],
+                              dataset_config['scene_range'],
+                              attention_values=10,
+                              use_viewdir=False,
+                              use_encoder=False,
+                              disable_stylegan_noise=True,
+                              use_sdf=True,
+                              num_classes=None)
+    disc = ref_disc.Discriminator(CFG['resolution'], nc=3,
+                                  dataset_config=dataset_config,
+                                  conditional_pose=True,
+                                  use_encoder=False, num_classes=None)
+    opt_g = torch.optim.Adam(list(model.parameters()), lr=CFG['lr_g'],
+                             betas=(0., 0.99))
+    opt_d = torch.optim.Adam(list(disc.parameters()), lr=CFG['lr_d'],
+                             betas=(0., 0.99))
+    ckpt = {
+        'model': model.state_dict(),
+        'model_ema': model.state_dict(),
+        'discriminator': disc.state_dict(),
+        'optimizer_g': opt_g.state_dict(),
+        'optimizer_d': opt_d.state_dict(),
+        'iteration': 0,
+        'lr_g': CFG['lr_g'],
+        'lr_d': CFG['lr_d'],
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, 'wb') as f:
+        torch.save(ckpt, f)
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}, \
+        {k: v.detach().numpy() for k, v in disc.state_dict().items()}
+
+
+def read_tb_scalars(log_root):
+    from tensorboard.backend.event_processing import event_accumulator
+    dirs = [d for d in os.listdir(log_root)
+            if os.path.isdir(os.path.join(log_root, d))]
+    assert len(dirs) == 1, f'expected one experiment dir, got {dirs}'
+    acc = event_accumulator.EventAccumulator(
+        os.path.join(log_root, dirs[0]),
+        size_guidance={event_accumulator.SCALARS: 0})
+    acc.Reload()
+    out = {}
+    for tag in acc.Tags()['scalars']:
+        out[tag] = [(ev.step, ev.value) for ev in acc.Scalars(tag)]
+    return out
+
+
+def main():
+    work = tempfile.mkdtemp(prefix='traj_golden_')
+    data_dir = os.path.join(work, 'data')
+    root_dir = os.path.join(work, 'root')
+    os.makedirs(data_dir)
+    os.makedirs(root_dir)
+
+    rng = np.random.RandomState(515)
+    images, poses, focal = make_dataset(data_dir, rng)
+
+    ckpt_rel = os.path.join('trajinit', 'init.pth')
+    g_sd, d_sd = build_init_checkpoint(
+        os.path.join(root_dir, 'gan_checkpoints', ckpt_rel))
+
+    tape_path = os.path.join(work, 'tape.json')
+    env = dict(os.environ)
+    env.update({
+        'PYTORCH_JIT': '0',
+        'REF_TAPE_OUT': tape_path,
+        'REF_CHANNEL_BASE': str(CFG['channel_base']),
+        'REF_CHANNEL_MAX': str(CFG['channel_max']),
+        'REF_NO_DATASET_OVERRIDES': '1',
+        'REF_PATH': REF,
+        'CUDA_VISIBLE_DEVICES': '',
+    })
+    cmd = [sys.executable, os.path.join(REPO, 'scripts', 'ref_runner.py'),
+           '--dataset', CFG['dataset'],
+           '--data_path', data_dir,
+           '--root_path', root_dir,
+           '--gpus', '0',
+           '--batch_size', str(CFG['batch_size']),
+           '--iterations', str(CFG['iterations']),
+           '--resume_from', ckpt_rel,
+           '--latent_dim', str(CFG['latent_dim']),
+           '--resolution', str(CFG['resolution'])]
+    print('Running reference:', ' '.join(cmd))
+    subprocess.run(cmd, check=True, env=env, cwd=REPO)
+
+    scalars = read_tb_scalars(os.path.join(root_dir, 'gan_logs'))
+    with open(tape_path) as f:
+        tape = json.load(f)
+
+    out = {
+        'images': images,
+        'poses': poses,
+        'focal': focal,
+        'config_json': np.str_(json.dumps(CFG)),
+        'tape_json': np.str_(json.dumps(tape)),
+        'scalars_json': np.str_(json.dumps(scalars)),
+    }
+    for k, v in g_sd.items():
+        out[f'init_g/{k}'] = v
+    for k, v in d_sd.items():
+        out[f'init_d/{k}'] = v
+
+    dest = os.path.join(REPO, 'tests', 'golden', 'trajectory_gan.npz')
+    np.savez_compressed(dest, **out)
+    print('Wrote', dest, f'({len(out)} arrays)')
+    shutil.rmtree(work)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,182 @@
+"""Instrumented driver: executes the REAL /root/reference/run.py with
+recorded/substituted randomness, for trajectory-parity goldens.
+
+What it does before handing control to run.py (via runpy):
+- Puts scripts/ref_stubs on sys.path so the reference's missing deps
+  (lpips, pytorch_fid, skimage, pycocotools, torchvision) resolve to
+  interface-compatible shims. The reference's own code is untouched.
+- Requires PYTORCH_JIT=0 in the environment so @torch.jit.script leaves
+  plain Python functions (TorchScript would bind torch.rand to the ATen
+  op at script time, making the draws uninterceptable). The math is
+  identical in eager mode.
+- Replaces torch.rand/rand_like/randn/randn_like with deterministic
+  numpy-seeded draws, logging (site, kind, shape, seed) to a tape. The
+  rebuild regenerates the exact same values from the same seeds
+  (np.RandomState(seed).random_sample / standard_normal), so no bulk
+  noise ships in the golden file.
+- Wraps np.random.RandomState so randint/permutation outputs (batch
+  indices, EndlessSampler shuffles) are recorded verbatim.
+- Optionally narrows StyleGAN channel widths (REF_CHANNEL_BASE /
+  REF_CHANNEL_MAX) — SynthesisNetwork/DiscriminatorBackbone expose these
+  as constructor kwargs (reference stylegan.py:441-446, 612-617); the
+  surgery changes widths only, never math.
+- No-ops loaders.override_default_args when REF_NO_DATASET_OVERRIDES=1
+  so the CLI flags fully define the config.
+- Forces DataLoader num_workers=0 (single-core container).
+
+Writes the tape to $REF_TAPE_OUT as JSON. Invoked as a subprocess by
+scripts/gen_trajectory_golden.py; argv after the script name is passed
+to run.py verbatim.
+"""
+
+import json
+import os
+import sys
+
+assert os.environ.get('PYTORCH_JIT') == '0', \
+    'run with PYTORCH_JIT=0 (TorchScript must be disabled for RNG capture)'
+
+_THIS_DIR = os.path.dirname(os.path.abspath(__file__))
+REF_PATH = os.environ.get('REF_PATH', '/root/reference')
+sys.path.insert(0, os.path.join(_THIS_DIR, 'ref_stubs'))
+sys.path.insert(0, REF_PATH)
+
+import numpy as np  # noqa: E402
+import torch  # noqa: E402
+
+TAPE = []
+_SEED_BASE = 100000
+_counter = [0]
+
+
+def _caller_site():
+    f = sys._getframe(2)
+    while f is not None:
+        fn = f.f_code.co_filename
+        if 'ref_runner' not in fn:
+            return f'{os.path.basename(fn)}:{f.f_code.co_name}'
+        f = f.f_back
+    return '?'
+
+
+def _shape_from_args(args):
+    if len(args) == 1 and isinstance(args[0], (tuple, list, torch.Size)):
+        return tuple(int(x) for x in args[0])
+    return tuple(int(x) for x in args)
+
+
+def _draw(kind, shape, dtype=None, device=None):
+    seed = _SEED_BASE + _counter[0]
+    _counter[0] += 1
+    r = np.random.RandomState(seed)
+    vals = r.random_sample(shape) if kind == 'rand' \
+        else r.standard_normal(shape)
+    TAPE.append({'site': _caller_site(), 'kind': kind,
+                 'shape': list(shape), 'seed': seed})
+    t = torch.from_numpy(vals).to(dtype if dtype is not None
+                                  else torch.float32)
+    if device is not None:
+        t = t.to(device)
+    return t
+
+
+def _patch_torch_rng():
+    def rand(*args, **kw):
+        return _draw('rand', _shape_from_args(args), kw.get('dtype'),
+                     kw.get('device'))
+
+    def randn(*args, **kw):
+        return _draw('randn', _shape_from_args(args), kw.get('dtype'),
+                     kw.get('device'))
+
+    def rand_like(t, **kw):
+        return _draw('rand', tuple(t.shape), kw.get('dtype', t.dtype),
+                     kw.get('device', t.device))
+
+    def randn_like(t, **kw):
+        return _draw('randn', tuple(t.shape), kw.get('dtype', t.dtype),
+                     kw.get('device', t.device))
+
+    torch.rand = rand
+    torch.randn = randn
+    torch.rand_like = rand_like
+    torch.randn_like = randn_like
+
+
+def _patch_numpy_rng():
+    class RecordingRandomState(np.random.RandomState):
+        def randint(self, *a, **kw):
+            out = super().randint(*a, **kw)
+            TAPE.append({'site': _caller_site(), 'kind': 'randint',
+                         'values': np.asarray(out).reshape(-1).tolist()})
+            return out
+
+        def permutation(self, *a, **kw):
+            out = super().permutation(*a, **kw)
+            TAPE.append({'site': _caller_site(), 'kind': 'permutation',
+                         'values': np.asarray(out).reshape(-1).tolist()})
+            return out
+
+    np.random.RandomState = RecordingRandomState
+
+
+def _patch_dataloader():
+    orig = torch.utils.data.DataLoader
+
+    def make(*a, **kw):
+        kw['num_workers'] = 0
+        return orig(*a, **kw)
+
+    torch.utils.data.DataLoader = make
+
+
+def _patch_channels():
+    cb = os.environ.get('REF_CHANNEL_BASE')
+    cm = os.environ.get('REF_CHANNEL_MAX')
+    if cb is None and cm is None:
+        return
+    from models import stylegan as ref_sg
+
+    def narrowed(cls):
+        class Narrow(cls):
+            def __init__(self, *a, **kw):
+                if cb is not None:
+                    kw.setdefault('channel_base', int(cb))
+                if cm is not None:
+                    kw.setdefault('channel_max', int(cm))
+                super().__init__(*a, **kw)
+        return Narrow
+
+    ref_sg.SynthesisNetwork = narrowed(ref_sg.SynthesisNetwork)
+    ref_sg.DiscriminatorBackbone = narrowed(ref_sg.DiscriminatorBackbone)
+
+
+def _patch_dataset_overrides():
+    if os.environ.get('REF_NO_DATASET_OVERRIDES') != '1':
+        return
+    from data import loaders as ref_loaders
+    ref_loaders.override_default_args = lambda args: None
+
+
+def main():
+    _patch_dataloader()
+    _patch_channels()
+    _patch_dataset_overrides()
+    _patch_numpy_rng()
+    _patch_torch_rng()
+
+    sys.argv = ['run.py'] + sys.argv[1:]
+    import runpy
+    try:
+        runpy.run_path(os.path.join(REF_PATH, 'run.py'),
+                       run_name='__main__')
+    finally:
+        out = os.environ.get('REF_TAPE_OUT')
+        if out:
+            with open(out, 'w') as f:
+                json.dump(TAPE, f)
+            print(f'[ref_runner] wrote {len(TAPE)} tape entries to {out}')
+
+
+if __name__ == '__main__':
+    main()

@@ -69,6 +69,46 @@ def test_load_manual_image_segment_fn_precedence(tmp_path):
     np.testing.assert_allclose(out['bbox'], [3, 2, 8, 5])
 
 
+def test_select_largest_of_class_reference_semantics():
+    """lib/utils.py:147-153: filter to the requested COCO class, pick the
+    LARGEST instance of that class (not the largest overall)."""
+    masks = np.zeros((3, 8, 8), bool)
+    masks[0, :, :] = True       # huge, wrong class
+    masks[1, 0:2, 0:2] = True   # small, right class
+    masks[2, 0:4, 0:4] = True   # larger, right class
+    classes = np.array([5, 2, 2])
+    out = demo.select_largest_of_class(classes, masks, coco_class_id=2)
+    np.testing.assert_array_equal(out > 0.5, masks[2])
+    with pytest.raises(RuntimeError, match='COCO class 9'):
+        demo.select_largest_of_class(classes, masks, coco_class_id=9)
+
+
+def test_load_manual_image_mask_file_precedence(tmp_path):
+    """--inv_manual_mask_path outranks segment_fn/alpha/GrabCut."""
+    from PIL import Image
+    rgba = np.zeros((40, 40, 4), np.uint8)
+    rgba[..., :3] = 128
+    rgba[10:30, 5:25, 3] = 255  # alpha subject (must NOT be used)
+    p = tmp_path / 'img.png'
+    Image.fromarray(rgba).save(p)
+    m = np.zeros((40, 40), np.uint8)
+    m[3:7, 8:14] = 255
+    mp = tmp_path / 'mask.png'
+    Image.fromarray(m).save(mp)
+
+    def seg(im, cls):  # must not be called
+        raise AssertionError('segment_fn called despite mask_path')
+
+    out = demo.load_manual_image(str(p), coco_class_id=2, segment_fn=seg,
+                                 mask_path=str(mp))
+    np.testing.assert_allclose(out['bbox'], [8, 3, 13, 6])
+    with pytest.raises(ValueError, match='mask shape'):
+        bad = tmp_path / 'bad.png'
+        Image.fromarray(m[:20]).save(bad)
+        demo.load_manual_image(str(p), coco_class_id=2,
+                               mask_path=str(bad))
+
+
 def test_load_manual_image_rgb_uses_grabcut(tmp_path):
     pytest.importorskip('cv2')
     from PIL import Image
