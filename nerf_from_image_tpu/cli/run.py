@@ -312,48 +312,75 @@ def main(argv=None):
 
 def make_inception_apply(args):
     """Jitted InceptionV3-FID activations fn; loads converted TF-FID weights
-    from {root_path}/weights/inception.npz when present."""
+    from {root_path}/weights/inception.npz when present.
+
+    Construction is LAZY (first call): a short run that never reaches an
+    eval (< iteration 3) must not pay for initializing/compiling
+    InceptionV3. The random-weights fallback init is jitted — eager flax
+    init executes the graph op-by-op, ~400 one-op XLA compiles."""
     import jax
     import jax.numpy as jnp
 
-    from nerf_from_image_tpu.models.inception import InceptionV3FID
-    from nerf_from_image_tpu.utils.weights import load_npz_variables
+    state = {}
 
-    net = InceptionV3FID()
-    path = os.path.join(args.root_path, 'weights', 'inception.npz')
-    variables = load_npz_variables(path)
-    if variables is None:
-        print(f'WARNING: no converted Inception weights at {path}; '
-              'FID uses a randomly initialized Inception (numbers are '
-              'self-consistent only). Run scripts/convert_weights.py.')
-        variables = net.init(jax.random.PRNGKey(0),
-                             jnp.zeros((1, 3, 32, 32)))
-    _jit = jax.jit(net.apply)
-    # Pass the weights as a runtime argument — closing over them bakes
-    # ~90 MB of constants into the executable (HBM-resident per program).
-    return lambda im: _jit(variables, im)
+    def build():
+        from nerf_from_image_tpu.models.inception import InceptionV3FID
+        from nerf_from_image_tpu.utils.weights import load_npz_variables
+
+        net = InceptionV3FID()
+        path = os.path.join(args.root_path, 'weights', 'inception.npz')
+        variables = load_npz_variables(path)
+        if variables is None:
+            print(f'WARNING: no converted Inception weights at {path}; '
+                  'FID uses a randomly initialized Inception (numbers are '
+                  'self-consistent only). Run scripts/convert_weights.py.')
+            variables = jax.jit(net.init)(jax.random.PRNGKey(0),
+                                          jnp.zeros((1, 3, 32, 32)))
+        _jit = jax.jit(net.apply)
+        # Pass the weights as a runtime argument — closing over them bakes
+        # ~90 MB of constants into the executable (HBM-resident per
+        # program).
+        state['fn'] = lambda im: _jit(variables, im)
+
+    def apply(im):
+        if 'fn' not in state:
+            build()
+        return state['fn'](im)
+
+    return apply
 
 
 def make_lpips_apply(args):
     """Jitted LPIPS distance fn on [0,1] NCHW pairs; loads converted VGG16
-    + lin weights from {root_path}/weights/lpips.npz when present."""
+    + lin weights from {root_path}/weights/lpips.npz when present.
+    Lazily built on first call (see make_inception_apply)."""
     import jax
     import jax.numpy as jnp
 
-    from nerf_from_image_tpu.models.lpips import LPIPS
-    from nerf_from_image_tpu.utils.weights import load_npz_variables
+    state = {}
 
-    net = LPIPS()
-    path = os.path.join(args.root_path, 'weights', 'lpips.npz')
-    variables = load_npz_variables(path)
-    if variables is None:
-        print(f'WARNING: no converted LPIPS weights at {path}; '
-              'LPIPS uses a randomly initialized VGG16.')
-        variables = net.init(jax.random.PRNGKey(0),
-                             jnp.zeros((1, 3, 32, 32)),
-                             jnp.zeros((1, 3, 32, 32)))
-    _jit = jax.jit(lambda v, a, b: net.apply(v, a, b, normalize=True))
-    return lambda a, b: _jit(variables, a, b)
+    def build():
+        from nerf_from_image_tpu.models.lpips import LPIPS
+        from nerf_from_image_tpu.utils.weights import load_npz_variables
+
+        net = LPIPS()
+        path = os.path.join(args.root_path, 'weights', 'lpips.npz')
+        variables = load_npz_variables(path)
+        if variables is None:
+            print(f'WARNING: no converted LPIPS weights at {path}; '
+                  'LPIPS uses a randomly initialized VGG16.')
+            variables = jax.jit(net.init)(jax.random.PRNGKey(0),
+                                          jnp.zeros((1, 3, 32, 32)),
+                                          jnp.zeros((1, 3, 32, 32)))
+        _jit = jax.jit(lambda v, a, b: net.apply(v, a, b, normalize=True))
+        state['fn'] = lambda a, b: _jit(variables, a, b)
+
+    def apply(a, b):
+        if 'fn' not in state:
+            build()
+        return state['fn'](a, b)
+
+    return apply
 
 
 if __name__ == '__main__':

@@ -376,8 +376,11 @@ class GANEvaluator:
                 class_label = jnp.asarray(split.classes[idx_])
 
             first = start == 0
+            # fold_in data must fit uint32; iteration 4295+ would
+            # overflow the raw product (first real eval is at 5000).
             noise_rng = jax.random.fold_in(
-                jax.random.PRNGKey(2424), iteration * 1000003 + start)
+                jax.random.PRNGKey(2424),
+                (iteration * 1000003 + start) % (2 ** 32))
             out = self._render_fn(
                 state.ema_params_g, z, pose, focal, center, bbox,
                 image_emb, class_label, noise_rng,

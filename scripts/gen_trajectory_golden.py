@@ -36,7 +36,7 @@ STUBS = os.path.join(REPO, 'scripts', 'ref_stubs')
 CFG = dict(
     dataset='carla',
     n_images=8,
-    resolution=32,
+    resolution=16,
     batch_size=4,
     latent_dim=64,
     iterations=3,
@@ -50,27 +50,29 @@ CFG = dict(
     eikonal=0.1,
     scene_range=3.0,
     white_background=True,
-    focal_px=38.4,  # focal in pixels at 32px -> normalized 1.2
+    focal_px=19.2,  # focal in pixels at 16px -> normalized 1.2
 )
 
 
-def make_dataset(data_dir, rng):
+def make_dataset(data_dir, rng, res=None, n_images=None, focal_px=None):
     """Synthetic CARLA-format fixture: pngs + per-image extrinsics +
     shared intrinsics (reference data/datasets.py:718-760)."""
     from PIL import Image
     carla = os.path.join(data_dir, 'carla')
     poses_dir = os.path.join(carla, 'carla_poses')
     os.makedirs(poses_dir)
-    res = CFG['resolution']
+    res = res if res is not None else CFG['resolution']
+    n_images = n_images if n_images is not None else CFG['n_images']
+    focal_px = focal_px if focal_px is not None else CFG['focal_px']
 
-    images_u8 = rng.randint(0, 256, (CFG['n_images'], res, res, 3),
+    images_u8 = rng.randint(0, 256, (n_images, res, res, 3),
                             dtype=np.uint8)
     poses = []
-    for i in range(CFG['n_images']):
+    for i in range(n_images):
         Image.fromarray(images_u8[i]).save(
             os.path.join(carla, f'{i:04d}.png'))
         # Camera on a jittered ring at radius 10 looking at the origin.
-        theta = 2 * np.pi * i / CFG['n_images'] + rng.uniform(-0.1, 0.1)
+        theta = 2 * np.pi * i / n_images + rng.uniform(-0.1, 0.1)
         phi = rng.uniform(0.2, 0.7)
         eye = 10.0 * np.array([np.cos(theta) * np.cos(phi),
                                np.sin(phi),
@@ -87,16 +89,17 @@ def make_dataset(data_dir, rng):
         np.save(os.path.join(poses_dir, f'{i:04d}_extrinsics.npy'),
                 c2w[:3].astype(np.float32))
     intr = np.zeros((1, 1, 3, 3), np.float32)
-    intr[0, 0, 0, 0] = CFG['focal_px']
+    intr[0, 0, 0, 0] = focal_px
     intr[0, 0, 0, 2] = res / 2
     intr[0, 0, 1, 2] = res / 2
     np.save(os.path.join(poses_dir, 'intrinsics.npy'), intr)
 
     images_f = images_u8.astype(np.float32) / 255.0 * 2.0 - 1.0
-    return images_f, np.stack(poses), np.float32(CFG['focal_px'] / res)
+    return images_f, np.stack(poses), np.float32(focal_px / res)
 
 
-def build_init_checkpoint(path):
+def build_init_checkpoint(path, channel_base=None, channel_max=None,
+                          latent_dim=None, resolution=None):
     """Init checkpoint in the reference's on-disk format, with the same
     narrow-channel surgery ref_runner applies (run.py loads it via
     --resume_from, restoring weights + fresh Adam states +
@@ -106,11 +109,16 @@ def build_init_checkpoint(path):
     import torch
     from models import stylegan as ref_sg
 
+    cb = channel_base if channel_base is not None else CFG['channel_base']
+    cm = channel_max if channel_max is not None else CFG['channel_max']
+    latent_dim = latent_dim if latent_dim is not None else CFG['latent_dim']
+    resolution = resolution if resolution is not None else CFG['resolution']
+
     def narrowed(cls):
         class Narrow(cls):
             def __init__(self, *a, **kw):
-                kw.setdefault('channel_base', CFG['channel_base'])
-                kw.setdefault('channel_max', CFG['channel_max'])
+                kw.setdefault('channel_base', cb)
+                kw.setdefault('channel_max', cm)
                 super().__init__(*a, **kw)
         return Narrow
 
@@ -123,7 +131,7 @@ def build_init_checkpoint(path):
 
     torch.manual_seed(99)
     dataset_config = ref_loaders.get_dataset_config(CFG['dataset'])
-    model = ref_gen.Generator(CFG['latent_dim'],
+    model = ref_gen.Generator(latent_dim,
                               dataset_config['scene_range'],
                               attention_values=10,
                               use_viewdir=False,
@@ -131,7 +139,7 @@ def build_init_checkpoint(path):
                               disable_stylegan_noise=True,
                               use_sdf=True,
                               num_classes=None)
-    disc = ref_disc.Discriminator(CFG['resolution'], nc=3,
+    disc = ref_disc.Discriminator(resolution, nc=3,
                                   dataset_config=dataset_config,
                                   conditional_pose=True,
                                   use_encoder=False, num_classes=None)

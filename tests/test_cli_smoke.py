@@ -50,6 +50,37 @@ def _argv(tmp_path, extra=()):
             '--iterations', '2', '--use_pallas', '0'] + list(extra)
 
 
+def test_cli_orchestration_quick(tmp_path, monkeypatch, capsys):
+    """Quick-gate slice of the smoke below: flag parsing, dataset load,
+    mesh/state init, experiment-name canonicalized checkpoint routing,
+    and checkpoint save — with the jitted train loop stubbed out (its
+    execution is covered by test_train_gan and the slow journey)."""
+    from nerf_from_image_tpu.cli import run as run_cli
+    from nerf_from_image_tpu.train import loop as loop_lib
+    from nerf_from_image_tpu.train import pretrain as pretrain_lib
+
+    _write_srn_fixture(str(tmp_path))
+    monkeypatch.setattr(pretrain_lib, 'pretrain_sdf',
+                        lambda state, *a, **kw: state)
+    seen = {}
+
+    def fake_train(state, cfg, split, mesh, num_iters, **kw):
+        seen['num_iters'] = num_iters
+        seen['n_images'] = len(split.images)
+        return state
+
+    monkeypatch.setattr(loop_lib, 'train_gan', fake_train)
+    run_cli.main(_argv(tmp_path))
+    out = capsys.readouterr().out
+    assert 'Training done.' in out
+    assert seen == {'num_iters': 2, 'n_images': 8}
+    exp = os.listdir(tmp_path / 'out' / 'gan_checkpoints')
+    assert len(exp) == 1 and 'shapenet_cars' in exp[0]
+    ckpts = os.listdir(tmp_path / 'out' / 'gan_checkpoints' / exp[0])
+    assert any('latest' in c for c in ckpts)
+
+
+@pytest.mark.slow
 def test_cli_train_and_resume(tmp_path, monkeypatch, capsys):
     from nerf_from_image_tpu.cli import run as run_cli
     from nerf_from_image_tpu.train import pretrain as pretrain_lib
