@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def get_ray_bundle(
@@ -179,8 +180,15 @@ def compute_query_points_from_rays(
         if jnp.issubdtype(rng.dtype, jnp.floating):
             u = rng.reshape(depth_values.shape).astype(depth_values.dtype)
         else:
-            u = jax.random.uniform(rng, depth_values.shape,
-                                   dtype=depth_values.dtype)
+            # Drawn FLAT, then reshaped: when XLA rematerializes the
+            # jittered depths in the backward pass it keeps the threefry
+            # bit tensors alive, and in (B, H, W, S)-shaped form those
+            # pick up 8x T(8,128) padding (10 x 512 MB at the batch-16
+            # training point); the flat u32 vectors are pad-free.
+            n = int(np.prod(depth_values.shape))
+            u = jax.random.uniform(rng, (n,),
+                                   dtype=depth_values.dtype).reshape(
+                                       depth_values.shape)
         depth_values = depth_values + u * delta
 
     query_points = (ray_origins[..., None, :] +

@@ -517,9 +517,12 @@ class Generator(nn.Module):
                 from nerf_from_image_tpu.ops.pallas import triplane_window
 
                 def sdf_sum(pts):
+                    # unblock=False: the sum is point-order-invariant, so
+                    # the blocked->natural feature relayout is pure waste.
                     feats_n, _ = triplane_window.sample_triplane_windowed(
                         state.planes, state.dma_planes,
-                        state.packed_planes, pts / self.scene_range)
+                        state.packed_planes, pts / self.scene_range,
+                        unblock=False)
                     d = self.decoder.mlp(feats_n.astype(self.dtype))[
                         'density_or_distance']
                     return jnp.sum(d[..., -1])
@@ -533,6 +536,7 @@ class Generator(nn.Module):
             outputs['normals'] = (grad / jnp.maximum(norm, 1e-12)).reshape(
                 bs, -1, 3)
         fused_rgb = None
+        reorder = None  # blocked->renderer point reorder (windowed path)
         if use_windowed:
             from nerf_from_image_tpu.ops.pallas import triplane_window
             # Deliberately UNclipped: prepare_blocks detects out-of-box
@@ -570,14 +574,27 @@ class Generator(nn.Module):
                     self.dtype), 'features': None}
                 fused_rgb = out4[..., 1:].astype(self.dtype)
             else:
+                # unblock=False keeps the kernel's blocked point order
+                # through the pointwise decoder MLP; only the small
+                # decoded outputs (1-ch distance, 3-ch rgb, K-ch probs)
+                # are reordered to renderer order below. Reordering the
+                # (N, 32) features themselves materializes three 4x-
+                # padded T(8,128) copies (measured 12 GB of the 17.6 GB
+                # batch-16 OOM) — on the decoded tensors XLA lays the
+                # point axis minor and the transpose is pad-free.
                 feats, _resid = triplane_window.sample_triplane_windowed(
                     state.planes, state.dma_planes, state.packed_planes,
-                    coords_n, coord_grads=coord_grads)
+                    coords_n, coord_grads=coord_grads, unblock=False)
                 dec = self.decoder.mlp(feats.astype(self.dtype))
+                _h, _w, _s = x_in.shape[1], x_in.shape[2], x_in.shape[3]
+                reorder = lambda t: triplane_window.unblock_points(
+                    t, _h, _w, _s)
         else:
             dec = decode_density(x_in)
         density_or_distance = dec['density_or_distance']
         features = dec['features']
+        if reorder is not None:
+            density_or_distance = reorder(density_or_distance)
 
         if 'sdf_distance' in requests:
             outputs['sdf_distance'] = density_or_distance
@@ -595,6 +612,11 @@ class Generator(nn.Module):
 
         if 'rgb' in requests or 'semantics' in requests:
             if self.use_viewdir and state.viewdir_embedding is not None:
+                if reorder is not None:
+                    # The per-ray viewdir embedding broadcast needs
+                    # renderer (ray-major) order.
+                    features = reorder(features)
+                    reorder = None
                 s = x_in.shape[-2]
                 feat = features.reshape(bs, -1, s, features.shape[-1])
                 feat = self.viewdir_mapper.apply_features(
@@ -603,14 +625,20 @@ class Generator(nn.Module):
             if self.attention_values == 0:
                 rgb = wide_sigmoid_rescaled(features)
                 if 'rgb' in requests:
-                    outputs['rgb'] = rgb
+                    outputs['rgb'] = rgb if reorder is None else reorder(rgb)
             else:
+                # Softmax + palette matmul are pointwise over points, so
+                # they run in whatever order `features` is in; only the
+                # small outputs get reordered.
                 attention_probs = jax.nn.softmax(features, axis=-1)
                 if 'semantics' in requests:
-                    outputs['semantics'] = attention_probs
+                    outputs['semantics'] = (attention_probs if reorder is
+                                            None else
+                                            reorder(attention_probs))
                 if 'rgb' in requests:
-                    outputs['rgb'] = jnp.matmul(attention_probs,
-                                                state.attention_values)
+                    rgb = jnp.matmul(attention_probs,
+                                     state.attention_values)
+                    outputs['rgb'] = rgb if reorder is None else reorder(rgb)
         return outputs
 
     # ---- Regularizer losses -------------------------------------------------

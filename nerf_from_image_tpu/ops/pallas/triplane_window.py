@@ -883,6 +883,21 @@ def _unblock(x: jnp.ndarray, b, h, w, s, tile, slab):
     return x.reshape(b, h * w * s, c)
 
 
+def unblock_points(x: jnp.ndarray, h: int, w: int, s: int,
+                   tile: int = TILE, slab: int = SLAB) -> jnp.ndarray:
+    """(B, NB*P, c) kernel-blocked point order -> (B, H*W*S, c) renderer
+    order. Public counterpart of `_unblock` for callers that consume the
+    sampler's output in blocked order (sample_triplane_windowed with
+    unblock=False) and reorder only their small decoded outputs: the
+    blocked->natural transpose on the (N, 32) feature tensor is a 4x-
+    padded T(8,128) relayout on TPU (1 GB logical -> 4 GB physical at
+    batch 16), while on a 1..4-channel decoded tensor XLA lays the
+    points axis minor and the same transpose is pad-free."""
+    b = x.shape[0]
+    return _unblock(x.reshape(b, -1, tile * tile * slab, x.shape[-1]),
+                    b, h, w, s, tile, slab)
+
+
 def sample_triplane_windowed(
     planes: jnp.ndarray,
     planes_dma: jnp.ndarray,
@@ -896,6 +911,7 @@ def sample_triplane_windowed(
     interpret=None,
     decode=None,
     coord_grads: bool = True,
+    unblock: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full windowed sampler with exact overflow correction.
 
@@ -912,10 +928,16 @@ def sample_triplane_windowed(
         upstream (GAN training: poses are data) — the backward then runs
         the planes-only grad kernel (~3x cheaper) and coordinate
         cotangents are zero.
+      unblock: when False, features are returned in the kernel's blocked
+        point order (B, NB*P, C) — callers whose downstream is pointwise
+        (the decoder MLP) should take this and reorder only their small
+        decoded outputs via `unblock_points`, avoiding the 4x-padded
+        (N, 32) relayout (see unblock_points).
 
     Returns:
-      features (B, H*W*S, C) bf16, overflow_resid (scalar int32: points
-      that overflowed beyond the correction capacity; 0 => exact).
+      features (B, H*W*S, C) bf16 (blocked (B, NB*P, C) if
+      unblock=False), overflow_resid (scalar int32: points that
+      overflowed beyond the correction capacity; 0 => exact).
     """
     b, h, w, s, _ = coords.shape
     r = planes_dma.shape[2]
@@ -957,7 +979,10 @@ def sample_triplane_windowed(
         lambda f: f,
         feats)
 
-    feats = _unblock(feats, b, h, w, s, tile, slab)
+    if unblock:
+        feats = _unblock(feats, b, h, w, s, tile, slab)
+    else:
+        feats = feats.reshape(b, nb * p, feats.shape[-1])
     resid = jnp.maximum(jnp.sum(flat_ov.astype(jnp.int32)) - cap_b, 0)
     return feats, resid
 

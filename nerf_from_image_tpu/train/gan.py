@@ -361,10 +361,15 @@ def generator_forward(gen: Generator, params_g, z, pose, focal, center,
     render_rng = rng_render
     if noise is not None and ('depth' in noise or 'pdf_u' in noise):
         render_rng = {k: noise[k] for k in ('depth', 'pdf_u') if k in noise}
+    # force_no_cam_grad: pose/focal are batch DATA in the G/D steps (the
+    # reference's tensors are requires_grad=False, run.py:947-1010), so
+    # every gradient path through ray-gen/depth math dies at a data leaf.
+    # Cutting it at the source skips the dead (B,H,W,S,3) backward
+    # broadcasts/muls instead of computing-then-discarding them.
     out = render(sample_fn, cfg.resolution, cfg.resolution, pose, focal,
                  center, bbox, cfg.scene_range, cfg.white_background,
                  cfg.depth_samples_per_ray, rng=render_rng,
-                 fine_sampling=cfg.fine_sampling)
+                 fine_sampling=cfg.fine_sampling, force_no_cam_grad=True)
 
     extra = {}
     reg_requests = tuple(r for r in requests

@@ -1,7 +1,14 @@
 """Times the jitted G/D train steps at the flagship operating point
 (128^2, batch N, 64+64 samples, bf16, pallas sampler) on the real chip.
 
-Usage: python scripts/bench_train_step.py [batch] [--remat-tail]
+Usage: python scripts/bench_train_step.py [batch] [--ppl]
+
+--ppl enables path-length regularization. It is OFF by default because
+no reference dataset config enables it (arguments.py:111 is opt-in and
+data/loaders.py:90-125 never sets it), and because combining its
+double-backward with the SDF eikonal double-backward sends XLA into a
+compile/remat pathology (>880 s compiles, ~16 s steps vs ~1 s) — see
+PERF.md "PPL x eikonal pathology".
 """
 
 import os
@@ -31,7 +38,7 @@ def main():
                             depth_samples_per_ray=64, fine_sampling=True,
                             attention_values=4, batch_size=batch,
                             plane_resolution=256, use_pallas=True,
-                            path_length_regularization=True,
+                            path_length_regularization='--ppl' in sys.argv,
                             augment_ada=True, augment_p_max=0.8)
     dtype = jnp.bfloat16
     gen, disc = gan_lib.make_models(cfg, dtype)
