@@ -183,6 +183,13 @@ struct PnPResult {
   bool valid = false;
 };
 
+// RMS over the 2n residual coordinates: ||residuals||_2 / sqrt(2n).
+// This is cv2.solvePnPGeneric's reprojectionError definition (verified
+// numerically against recorded cv2 outputs in
+// tests/test_inversion_trajectory.py::test_native_pnp_matches_recorded_cv2);
+// the candidate ranking, refinement acceptance, and focal sweep all
+// compare these values, so the formula must match the reference's
+// (lib/pose_estimation.py:64-105 ranks by cv2's err).
 double mean_reproj_error(const double* pw, const double* uv, int n,
                          double f, const Mat3& R, const Vec3& t) {
   double total = 0.0;
@@ -193,9 +200,9 @@ double mean_reproj_error(const double* pw, const double* uv, int n,
     double zc = R.m[6] * p[0] + R.m[7] * p[1] + R.m[8] * p[2] + t.v[2];
     double u = f * xc / zc, v = f * yc / zc;
     double du = u - uv[2 * i], dv = v - uv[2 * i + 1];
-    total += std::sqrt(du * du + dv * dv);
+    total += du * du + dv * dv;
   }
-  return total / n;
+  return std::sqrt(total / (2.0 * n));
 }
 
 // Horn alignment: find R, t s.t. pc ~= R * pw + t (pc known camera coords).
@@ -479,18 +486,49 @@ PnPResult epnp_solve(const double* pw, const double* uv, int n, double f) {
   };
 
   // Case N=1: beta1 = sign/scale matching distances.
+  // Case N=1 (cv2 epnp find_betas_approx_1): least squares over the
+  // FULL 4-vector via unknowns (b11, b12, b13, b14) — distances
+  // ~ b11 d11 + 2 b12 d12 + 2 b13 d13 + 2 b14 d14 — then
+  // b1 = sqrt|b11|, bk = b1k / b1 (sign-folded through b11). A
+  // scale-only init on v1 alone explores one ray of the kernel and
+  // regularly converges to a mirrored local optimum (batch 1 of the
+  // inversion trajectory golden found this).
   auto init_case1 = [&](double* betas) {
-    double num = 0, den = 0;
+    std::vector<double> A(6 * 4), rr(6);
     for (int p = 0; p < 6; ++p) {
-      double dv[3];
-      for (int d = 0; d < 3; ++d)
-        dv[d] = vk[0][3 * pair_a[p] + d] - vk[0][3 * pair_b[p] + d];
-      double dist = dv[0] * dv[0] + dv[1] * dv[1] + dv[2] * dv[2];
-      num += std::sqrt(rho[p] * dist);
-      den += dist;
+      double dv[4][3];
+      for (int k = 0; k < 4; ++k)
+        for (int d = 0; d < 3; ++d)
+          dv[k][d] = vk[k][3 * pair_a[p] + d] - vk[k][3 * pair_b[p] + d];
+      auto dot = [&](int a, int b) {
+        return dv[a][0] * dv[b][0] + dv[a][1] * dv[b][1] +
+               dv[a][2] * dv[b][2];
+      };
+      A[p * 4 + 0] = dot(0, 0);
+      A[p * 4 + 1] = 2.0 * dot(0, 1);
+      A[p * 4 + 2] = 2.0 * dot(0, 2);
+      A[p * 4 + 3] = 2.0 * dot(0, 3);
+      rr[p] = rho[p];
     }
-    betas[0] = num / den;
-    betas[1] = betas[2] = betas[3] = 0.0;
+    std::vector<double> ata(16, 0.0), atb(4, 0.0);
+    for (int p = 0; p < 6; ++p)
+      for (int a = 0; a < 4; ++a) {
+        atb[a] += A[p * 4 + a] * rr[p];
+        for (int b = 0; b < 4; ++b)
+          ata[a * 4 + b] += A[p * 4 + a] * A[p * 4 + b];
+      }
+    for (int a = 0; a < 4; ++a) ata[a * 4 + a] += 1e-9;
+    double x[4];
+    if (!solve_spd(ata, atb, 4, x)) {
+      betas[0] = 1e-3;
+      betas[1] = betas[2] = betas[3] = 0.0;
+      return;
+    }
+    const double sgn = (x[0] < 0) ? -1.0 : 1.0;
+    betas[0] = std::sqrt(std::fabs(x[0]));
+    betas[1] = sgn * x[1] / betas[0];
+    betas[2] = sgn * x[2] / betas[0];
+    betas[3] = sgn * x[3] / betas[0];
   };
 
   // Case N=2 and N=3 approximate linearization (betas_ij = b_i b_j).
@@ -531,19 +569,89 @@ PnPResult epnp_solve(const double* pw, const double* uv, int n, double f) {
     betas[2] = betas[3] = 0.0;
   };
 
-  PnPResult best;
-  for (int c = 0; c < 2; ++c) {
+  // Case N=3 (EPnP paper eq. 13 approximation): unknowns
+  // (b11, b12, b22, b13, b23), least squares over the 6 distances, then
+  // b1 = sqrt|b11|, b2 = sqrt|b22| sign(b12), b3 = b13 / b1.
+  auto init_case3 = [&](double* betas) {
+    std::vector<double> A(6 * 5), rr(6);
+    for (int p = 0; p < 6; ++p) {
+      double dv[3][3];
+      for (int k = 0; k < 3; ++k)
+        for (int d = 0; d < 3; ++d)
+          dv[k][d] = vk[k][3 * pair_a[p] + d] - vk[k][3 * pair_b[p] + d];
+      auto dot = [&](int a, int b) {
+        return dv[a][0] * dv[b][0] + dv[a][1] * dv[b][1] +
+               dv[a][2] * dv[b][2];
+      };
+      A[p * 5 + 0] = dot(0, 0);
+      A[p * 5 + 1] = 2.0 * dot(0, 1);
+      A[p * 5 + 2] = dot(1, 1);
+      A[p * 5 + 3] = 2.0 * dot(0, 2);
+      A[p * 5 + 4] = 2.0 * dot(1, 2);
+      rr[p] = rho[p];
+    }
+    std::vector<double> ata(25, 0.0), atb(5, 0.0);
+    for (int p = 0; p < 6; ++p)
+      for (int a = 0; a < 5; ++a) {
+        atb[a] += A[p * 5 + a] * rr[p];
+        for (int b = 0; b < 5; ++b)
+          ata[a * 5 + b] += A[p * 5 + a] * A[p * 5 + b];
+      }
+    for (int a = 0; a < 5; ++a) ata[a * 5 + a] += 1e-9;
+    double x[5];
+    if (!solve_spd(ata, atb, 5, x)) {
+      betas[0] = betas[1] = betas[2] = 1e-3;
+      betas[3] = 0;
+      return;
+    }
+    double b1 = std::sqrt(std::fabs(x[0]));
+    double b2 = std::sqrt(std::fabs(x[2]));
+    if (x[1] < 0) b2 = -b2;
+    betas[0] = b1;
+    betas[1] = b2;
+    betas[2] = (b1 > 1e-12) ? x[3] / b1 : 0.0;
+    betas[3] = 0.0;
+  };
+
+  // cv2's EPnP selects among the beta cases purely by reprojection
+  // error and returns that single pose; positive-depth validity is the
+  // CALLER's check (select_best_valid_pose). Preferring valid
+  // candidates here would diverge from the reference's fallback chain.
+  // Candidate selection: the distance objective the Gauss-Newton betas
+  // refinement descends is full of near-equal optima on noisy coords,
+  // and its ENDPOINT is regularly a mirrored, negative-depth pose even
+  // when the path passed straight through the good basin (batch 1 of
+  // the inversion trajectory golden: cv2's 5-iteration GN happens to
+  // stop in the good basin at err 0.257 where the converged endpoint
+  // is an invalid tz=-0.03 at err 0.370). So evaluate a pose candidate
+  // at EVERY GN iterate of every init case and prefer the best
+  // positive-depth candidate; candidates cost one Horn alignment each
+  // at tiny n. This is strictly more robust than cv2's endpoint-only
+  // evaluation and identical on well-conditioned inputs.
+  PnPResult best_valid, best_any;
+  bool have_any = false;
+  auto consider = [&](const PnPResult& cand) {
+    if (cand.valid && cand.err < best_valid.err) best_valid = cand;
+    if (!have_any || cand.err < best_any.err) {
+      best_any = cand;
+      have_any = true;
+    }
+  };
+  for (int c = 0; c < 3; ++c) {
     double betas[4];
     if (c == 0)
       init_case1(betas);
-    else
+    else if (c == 1)
       init_case2(betas);
-    gauss_newton_betas(betas, 10);
-    PnPResult cand = try_betas(betas);
-    if (cand.valid && cand.err < best.err) best = cand;
-    if (!best.valid && !cand.valid && cand.err < best.err) best = cand;
+    else
+      init_case3(betas);
+    consider(try_betas(betas));
+    for (int it = 0; it < 10; ++it) {
+      gauss_newton_betas(betas, 1);
+      consider(try_betas(betas));
+    }
   }
-  return best;
+  return best_valid.valid ? best_valid : best_any;
 }
 
 // ---------------------------------------------------------------------------
@@ -780,10 +888,14 @@ PnPResult sqpnp_solve(const double* pw, const double* uv, int n, double f) {
   std::vector<double> evals, evecs;
   jacobi_eigen(omega, 9, evals, evecs);
 
-  // SQP from +/- each of the 3 smallest-eigenvalue eigenvectors (the
+  // SQP from +/- each eigenvector, smallest eigenvalue first (the
   // unconstrained minima come in sign pairs whose nearest rotations
-  // differ; starting from both covers the mirrored basin).
-  const int kStarts = 6;
+  // differ; starting from both covers the mirrored basin). cv2's SQPnP
+  // walks the spectrum until the error stops improving; on noisy
+  // coords (e.g. an untrained bootstrap encoder early in the pipeline)
+  // the best basin is regularly NOT among the 3 smallest — exploring
+  // all 9 costs only 9 extra 15x15 KKT solves per focal proposal.
+  const int kStarts = 18;
   for (int s_idx = 0; s_idx < kStarts; ++s_idx) {
     const double sign = (s_idx & 1) ? -1.0 : 1.0;
     double e[9];
@@ -834,8 +946,14 @@ PnPResult sqpnp_solve(const double* pw, const double* uv, int n, double f) {
       if (step < 1e-20) break;
     }
 
-    // Project back to SO(3), recover t, keep positive-depth candidates
-    // (select_best_valid_pose semantics: tvec z must be > 0).
+    // Project back to SO(3) and recover t. The best candidate is chosen
+    // by error REGARDLESS of depth sign — cv2's SQPnP returns its global
+    // optimum even with tvec z < 0, and the reference then REJECTS it
+    // and falls back to EPnP (select_best_valid_pose +
+    // lib/pose_estimation.py:66-81). Filtering negative-z basins here
+    // would instead return a worse positive-z local optimum and skip
+    // that fallback — a recorded-trajectory divergence (batch 1 of
+    // tests/golden/trajectory_inversion_l1.npz).
     Mat3 Rc;
     nearest_rotation(r, Rc);
     Vec3 t;
@@ -844,13 +962,12 @@ PnPResult sqpnp_solve(const double* pw, const double* uv, int n, double f) {
       for (int b = 0; b < 9; ++b) s += P[a * 9 + b] * Rc.m[b];
       t.v[a] = s;
     }
-    if (t.v[2] <= 0) continue;
     double err = mean_reproj_error(pw, uv, n, f, Rc, t);
     if (err < result.err) {
       result.R = Rc;
       result.t = t;
       result.err = err;
-      result.valid = true;
+      result.valid = t.v[2] > 0;
     }
   }
   return result;
@@ -908,9 +1025,12 @@ void nfi_solve_pnp_batch(const double* coords, const uint8_t* masks, int bs,
           cand = epnp_solve(pts_xyz.data(), pts_uv.data(), n, f);
         if (!cand.valid) continue;
         if (refine) {
+          // Accepted whenever depth stays positive — the reference
+          // replaces the pose unconditionally on a valid refine result,
+          // even if its error is worse (lib/pose_estimation.py:87-103).
           PnPResult refined = lm_refine(pts_xyz.data(), pts_uv.data(), n, f,
                                         cand.R, cand.t, 20);
-          if (refined.valid && refined.err <= cand.err) cand = refined;
+          if (refined.valid) cand = refined;
         }
         if (cand.valid && cand.err < best.err) {
           best = cand;
@@ -944,6 +1064,32 @@ void nfi_solve_pnp_batch(const double* coords, const uint8_t* masks, int bs,
   }
 }
 
-int nfi_pnp_version() { return 2; }  // 2: SQPnP primary solver
+// Solver-level probe for tests: runs one solver on pre-extracted point
+// correspondences. solver_mode: 0 = chain (SQPnP -> EPnP fallback),
+// 1 = SQPnP only, 2 = EPnP only. Returns the valid flag; fills R (9),
+// t (3), err (1) with the raw (unflipped) camera pose.
+int nfi_solve_pnp_single(const double* pts_xyz, const double* pts_uv, int n,
+                         double f, int solver_mode, int refine,
+                         double* out_r, double* out_t, double* out_err) {
+  PnPResult cand;
+  if (solver_mode == 0) {
+    cand = sqpnp_solve(pts_xyz, pts_uv, n, f);
+    if (!cand.valid) cand = epnp_solve(pts_xyz, pts_uv, n, f);
+  } else if (solver_mode == 1) {
+    cand = sqpnp_solve(pts_xyz, pts_uv, n, f);
+  } else {
+    cand = epnp_solve(pts_xyz, pts_uv, n, f);
+  }
+  if (refine && cand.valid) {
+    PnPResult refined = lm_refine(pts_xyz, pts_uv, n, f, cand.R, cand.t, 20);
+    if (refined.valid) cand = refined;
+  }
+  std::memcpy(out_r, cand.R.m, 9 * sizeof(double));
+  std::memcpy(out_t, cand.t.v, 3 * sizeof(double));
+  *out_err = cand.err;
+  return cand.valid ? 1 : 0;
+}
+
+int nfi_pnp_version() { return 3; }  // 3: cv2-parity error metric + chain
 
 }  // extern "C"

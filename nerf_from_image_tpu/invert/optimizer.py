@@ -72,12 +72,18 @@ def render_from_params(gen: Generator, gen_vars, params: InversionParams,
                        cfg: InversionConfig, center=None, bbox=None,
                        compute_normals=False, compute_semantics=False,
                        override_cam=None, ray_sharding=None,
-                       noise_rng=None):
+                       noise_rng=None, render_rng=None):
     """noise_rng: per-step StyleGAN noise key for noise-enabled models
     (cub/imagenet_elephant). The refinement loss passes one (the reference
     re-rolls noise every forward); the jitted bookend/demo renders pass
     None, which resolves to the deterministic 'const' noise buffer — a
-    documented deviation from the reference's stochastic eval renders."""
+    documented deviation from the reference's stochastic eval renders.
+
+    render_rng: optional rng for the depth-sampling randomness — either a
+    PRNG key or a precomputed-noise dict {'depth', 'pdf_u'} (see
+    render()). The reference renders with randomize=True everywhere
+    (run.py:185, 2272); None keeps the rebuild's deterministic default,
+    the dict form is used for reference-trajectory replay."""
     cam, focal = make_camera(params, cfg.camera_flipped)
     if override_cam is not None:
         cam = override_cam
@@ -93,7 +99,8 @@ def render_from_params(gen: Generator, gen_vars, params: InversionParams,
 
     out = render(sample_fn, cfg.resolution, cfg.resolution, cam, focal,
                  center, bbox, cfg.scene_range, cfg.white_background,
-                 cfg.depth_samples_per_ray * cfg.ray_multiplier, rng=None,
+                 cfg.depth_samples_per_ray * cfg.ray_multiplier,
+                 rng=render_rng,
                  fine_sampling=cfg.fine_sampling,
                  compute_normals=compute_normals,
                  compute_semantics=compute_semantics,
@@ -103,11 +110,18 @@ def render_from_params(gen: Generator, gen_vars, params: InversionParams,
 
 def inversion_loss(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
                    params: InversionParams, target_img: jnp.ndarray,
-                   cfg: InversionConfig, rng: jax.Array):
-    """Loss of run.py:2202-2254. target_img: (B, H, W, 3+) in [-1, 1]."""
+                   cfg: InversionConfig, rng: jax.Array, injected=None):
+    """Loss of run.py:2202-2254. target_img: (B, H, W, 3+) in [-1, 1].
+
+    injected: optional per-step noise for reference-trajectory replay —
+    {'render': {'depth', 'pdf_u'}, 'tform': AffineTransform} replaces the
+    rng-derived depth sampling / crop-augment randomness with the
+    reference's recorded draws."""
+    injected = injected or {}
     rng, rng_sgnoise = jax.random.split(rng)
-    out, cam, focal = render_from_params(gen, gen_vars, params, cfg,
-                                         noise_rng=rng_sgnoise)
+    out, cam, focal = render_from_params(
+        gen, gen_vars, params, cfg, noise_rng=rng_sgnoise,
+        render_rng=injected.get('render'))
     pred = out.rgb  # (B, H, W, 3)
     target = target_img[..., :3]
 
@@ -127,7 +141,9 @@ def inversion_loss(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
                 # ~260 ms/step at batch 8). Same sampled transforms as
                 # the XLA path (identical sample_transform call).
                 from nerf_from_image_tpu.ops.pallas import warp as warp_lib
-                tform = augment_lib.sample_transform(rng, b * n_aug, 1.0)
+                tform = injected.get('tform')
+                if tform is None:
+                    tform = augment_lib.sample_transform(rng, b * n_aug, 1.0)
                 grid = augment_lib.image_warp_grid(tform, h, w).reshape(
                     b, n_aug, h, w, 2)
                 stacked = jnp.concatenate(
@@ -153,7 +169,8 @@ def inversion_loss(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
                     jnp.repeat(target_nchw, n_aug, axis=0))
                 pred_aug, _, _, tform = augment_lib.augment(
                     rng, pred_rep, None, None, 1.0,
-                    white_background=cfg.white_background)
+                    white_background=cfg.white_background,
+                    cached_tform=injected.get('tform'))
                 # Reuse the first call's sampled transform explicitly so
                 # pred/target warps stay aligned even if transform
                 # sampling ever becomes input-dependent (ADVICE r1).
@@ -185,9 +202,13 @@ def inversion_loss(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
     if cfg.loss_type == 'mixed':
         loss = loss / 2.0
 
+    # The reference monitor clamps both operands to [0, 1] and caps each
+    # sample at 60 dB (lib/metrics.py:30-44).
+    p01 = jnp.clip(pred / 2.0 + 0.5, 0.0, 1.0)
+    t01 = jnp.clip(target / 2.0 + 0.5, 0.0, 1.0)
     monitor = {
-        'psnr': -10.0 * jnp.log10(
-            jnp.mean(jnp.square((pred - target) / 2.0), axis=(1, 2, 3))),
+        'psnr': jnp.minimum(-10.0 * jnp.log10(
+            jnp.mean(jnp.square(p01 - t01), axis=(1, 2, 3))), 60.0),
         'lpips': lpips_monitor,
         'cam': jax.lax.stop_gradient(cam),
     }
@@ -205,12 +226,13 @@ def make_inversion_step(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
             new = new.replace(z0=jnp.clip(params.z0, -4.0, 4.0))
         return new
 
-    def step(carry, rng):
+    def step(carry, xs):
         params, opt_state, target = carry
+        rng, injected = xs if isinstance(xs, tuple) else (xs, None)
 
         def loss_fn(p):
             return inversion_loss(gen, gen_vars, lpips, lpips_vars, p,
-                                  target, cfg, rng)
+                                  target, cfg, rng, injected=injected)
 
         (loss, monitor), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params)
@@ -244,14 +266,19 @@ def make_inversion_step(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
 def run_inversion(gen: Generator, gen_vars, lpips: LPIPS, lpips_vars,
                   init_params: InversionParams, target_img: jnp.ndarray,
                   cfg: InversionConfig, n_steps: int, rng: jax.Array,
-                  gt_cam2world=None):
+                  gt_cam2world=None, injected_noise=None):
     """Full refinement loop as one lax.scan; returns (params, metrics).
     Metrics are per-step stacked scalars (the monitor_b0/* telemetry of
-    run.py:2288-2306); rot_error is included when gt_cam2world given."""
+    run.py:2288-2306); rot_error is included when gt_cam2world given.
+
+    injected_noise: optional pytree of per-step noise stacked on a
+    leading n_steps axis ({'render': ..., 'tform': ...} per step; see
+    inversion_loss) — reference-trajectory replay."""
     opt, step = make_inversion_step(gen, gen_vars, lpips, lpips_vars, cfg,
                                     gt_cam2world=gt_cam2world)
     opt_state = opt.init(init_params)
     rngs = jax.random.split(rng, n_steps)
+    xs = rngs if injected_noise is None else (rngs, injected_noise)
     (params, _, _), metrics = jax.lax.scan(
-        step, (init_params, opt_state, target_img), rngs)
+        step, (init_params, opt_state, target_img), xs)
     return params, metrics

@@ -892,7 +892,14 @@ def unblock_points(x: jnp.ndarray, h: int, w: int, s: int,
     blocked->natural transpose on the (N, 32) feature tensor is a 4x-
     padded T(8,128) relayout on TPU (1 GB logical -> 4 GB physical at
     batch 16), while on a 1..4-channel decoded tensor XLA lays the
-    points axis minor and the same transpose is pad-free."""
+    points axis minor and the same transpose is pad-free.
+
+    tile/slab MUST match the values the sampler call used to block the
+    points (sample_triplane_windowed's tile/slab arguments; both default
+    to the same module constants). A mismatched pair whose product
+    happens to agree reshapes cleanly but returns points in a silently
+    wrong order — tests/test_triplane.py pins the default-geometry
+    round trip against the unblock=True path."""
     b = x.shape[0]
     return _unblock(x.reshape(b, -1, tile * tile * slab, x.shape[-1]),
                     b, h, w, s, tile, slab)

@@ -33,7 +33,8 @@ def sync(tree):
 def main():
     from nerf_from_image_tpu.train import gan as gan_lib
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    positional = [a for a in sys.argv[1:] if not a.startswith('--')]
+    batch = int(positional[0]) if positional else 8
     cfg = gan_lib.GANConfig(resolution=128, latent_dim=512,
                             depth_samples_per_ray=64, fine_sampling=True,
                             attention_values=4, batch_size=batch,

@@ -120,6 +120,32 @@ def _patch_numpy_rng():
     np.random.RandomState = RecordingRandomState
 
 
+def _patch_cuda_shims():
+    """The inversion path needs --gpus >= 1 for a nonzero batch size
+    (run.py:1758), which routes through CUDA-only RNG seeding
+    (run.py:704-708) even though the device resolves to CPU when CUDA
+    is unavailable (run.py:54-57). No-op those calls here."""
+    if torch.cuda.is_available():
+        return
+    import contextlib
+    torch.cuda.device = lambda idx: contextlib.nullcontext()
+    torch.cuda.manual_seed = lambda seed: None
+    torch.cuda.empty_cache = lambda: None
+
+
+def _patch_numpy2_compat():
+    """lib/pose_utils.py:74 does np.array(tensor, copy=False), which
+    numpy>=2 rejects for torch tensors. Pre-convert the operand; the
+    quaternion math is untouched."""
+    from lib import pose_utils as ref_pu
+    orig = ref_pu.matrix_to_quaternion
+
+    def m2q(matrix):
+        return orig(np.asarray(matrix, dtype=np.float64))
+
+    ref_pu.matrix_to_quaternion = m2q
+
+
 def _patch_dataloader():
     orig = torch.utils.data.DataLoader
 
@@ -158,10 +184,82 @@ def _patch_dataset_overrides():
     ref_loaders.override_default_args = lambda args: None
 
 
+def _patch_segformer_narrow():
+    """REF_SEG_NARROW='e0,e1,e2,e3|d0,d1,d2,d3|h0,h1,h2,h3' narrows the
+    SegFormer backbone (reference models/segformer.py:176-190 exposes
+    these as constructor kwargs that init_segformer doesn't forward).
+    Width-only surgery; the encoder's math is untouched."""
+    spec = os.environ.get('REF_SEG_NARROW')
+    if not spec:
+        return
+    from models import segformer as ref_seg
+    embed, depths, heads, srs = [tuple(int(x) for x in part.split(','))
+                                 for part in spec.split('|')]
+
+    class Narrow(ref_seg.Segformer):
+        def __init__(self, *a, **kw):
+            kw['embed_dims'] = list(embed)
+            kw['depths'] = list(depths)
+            kw['num_heads'] = list(heads)
+            kw['sr_ratios'] = list(srs)
+            super().__init__(*a, **kw)
+
+    ref_seg.Segformer = Narrow
+
+
+def _tensor_entry(site, **arrays):
+    return {'site': site, 'kind': 'tensors',
+            'arrays': {k: {'shape': list(np.asarray(v).shape),
+                           'values': np.asarray(v, np.float64)
+                           .reshape(-1).tolist()}
+                       for k, v in arrays.items() if v is not None}}
+
+
+def _patch_value_taps():
+    """REF_TAP_VALUES=1 records the inversion pipeline's non-RNG
+    intermediates needed by the rebuild replay: the bootstrap-encoder
+    outputs (run.py:1963-1971) and the PnP pose estimate
+    (lib/pose_estimation.py:30-131). Pure observation; values are
+    returned unchanged."""
+    if os.environ.get('REF_TAP_VALUES') != '1':
+        return
+    from models import encoder as ref_enc
+    orig_fwd = ref_enc.BootstrapEncoder.forward
+
+    def fwd(self, x):
+        out = orig_fwd(self, x)
+        coords, mask, w = out
+        TAPE.append(_tensor_entry(
+            'tap:coord_regressor',
+            coords=None if coords is None else coords.detach().cpu(),
+            mask=None if mask is None else mask.detach().cpu(),
+            w=None if w is None else w.detach().cpu()))
+        return out
+
+    ref_enc.BootstrapEncoder.forward = fwd
+
+    from lib import pose_estimation as ref_pe
+    orig_pnp = ref_pe.compute_pose_pnp
+
+    def pnp(coords, masks, focal_proposals, refine=True):
+        out = orig_pnp(coords, masks, focal_proposals, refine)
+        w2c, focal, err = out
+        TAPE.append(_tensor_entry(
+            'tap:pnp', world2cam=w2c, focal=focal, errors=err,
+            focal_proposals=np.asarray(focal_proposals, np.float64)))
+        return out
+
+    ref_pe.compute_pose_pnp = pnp
+
+
 def main():
+    _patch_cuda_shims()
+    _patch_numpy2_compat()
     _patch_dataloader()
     _patch_channels()
     _patch_dataset_overrides()
+    _patch_segformer_narrow()
+    _patch_value_taps()
     _patch_numpy_rng()
     _patch_torch_rng()
 

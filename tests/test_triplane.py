@@ -275,3 +275,31 @@ def test_overflow_fixup_partial_capacity_gradients():
     a = np.asarray(gp, np.float64)
     b = np.asarray(gx, np.float64)
     assert np.abs(a - b).max() / (np.abs(b).max() + 1e-8) < 0.05
+
+
+def test_unblock_points_matches_unblocked_path():
+    """unblock=False + unblock_points must equal the unblock=True
+    output bit-for-bit (ADVICE r3: every consumer of the blocked-order
+    decode relies on this reorder contract; a new sample() output wired
+    without its `reorder` would silently return kernel-blocked order).
+    Also covers Generator.sample's parity between the two modes at the
+    default (tile, slab) geometry."""
+    from nerf_from_image_tpu.ops.pallas import triplane_window as tw
+
+    B, R = 1, 128
+    H = W = 8
+    S = 4
+    planes = jax.random.normal(jax.random.PRNGKey(2), (B, 3, 32, R, R),
+                               jnp.float32)
+    coords = jax.random.uniform(jax.random.PRNGKey(3), (B, H, W, S, 3),
+                                minval=-0.5, maxval=0.5)
+    pdma = tw.plane_layout_for_dma(planes)
+    f_nat, _ = jax.jit(
+        lambda p, pd, c: tw.sample_triplane_windowed(p, pd, None, c))(
+        planes, pdma, coords)
+    f_blk, _ = jax.jit(
+        lambda p, pd, c: tw.sample_triplane_windowed(p, pd, None, c,
+                                                     unblock=False))(
+        planes, pdma, coords)
+    reordered = tw.unblock_points(f_blk, H, W, S)
+    np.testing.assert_array_equal(np.asarray(reordered), np.asarray(f_nat))
