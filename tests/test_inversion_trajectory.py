@@ -1,12 +1,16 @@
 """End-to-end inversion-trajectory parity against the REAL reference
 (VERDICT r3 missing #1 / next #1) — the paper's headline workload.
 
-tests/golden/trajectory_inversion_l1.npz (scripts/gen_inversion_golden.py)
-holds a 5-step hybrid inversion of /root/reference/run.py on CPU —
+tests/golden/trajectory_inversion_{l1,vgg}.npz
+(scripts/gen_inversion_golden.py) each hold a 5-step hybrid inversion of
+/root/reference/run.py on CPU —
 bootstrap encoder -> cv2 PnP -> Adam(lr 2e-3, betas (0.9, 0.95)) over
 [z, z0, R, s, t2] with per-step projections (run.py:1960-2317) — from a
 known EMA checkpoint, with every RNG draw substituted by a seeded value
-and the encoder/PnP outputs value-tapped (scripts/ref_runner.py).
+and the encoder/PnP outputs value-tapped (scripts/ref_runner.py). The
+vgg tape exercises the paper's default loss: the 15-crop random-affine
+augment (run.py:2210-2235) feeding the LPIPS sum, with the crop
+transforms reconstructed from the taped augment_impl draws.
 
 This test replays the identical trajectory through the rebuild's
 invert/optimizer.py refinement scan: converted EMA weights, the
@@ -31,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from nerf_from_image_tpu.core import augment as augment_lib
 from nerf_from_image_tpu.core import pose as pose_utils
 from nerf_from_image_tpu.invert import optimizer as inv_opt
 from nerf_from_image_tpu.metrics import image as image_metrics
@@ -38,8 +43,7 @@ from nerf_from_image_tpu.models.lpips import LPIPS
 from nerf_from_image_tpu.train import gan as gan_lib
 from nerf_from_image_tpu.utils import torch_convert as tc
 
-GOLDEN = (pathlib.Path(__file__).parent / 'golden' /
-          'trajectory_inversion_l1.npz')
+GOLDEN_DIR = pathlib.Path(__file__).parent / 'golden'
 REPO = pathlib.Path(__file__).parent.parent
 
 
@@ -60,6 +64,7 @@ class _TapeReader:
     KEEP = {
         'nerf_utils.py:compute_query_points_from_rays',
         'nerf_utils.py:sample_pdf',
+        'run.py:augment_impl',
         'tap:coord_regressor',
         'tap:pnp',
     }
@@ -84,6 +89,25 @@ class _TapeReader:
         pdf_u = _regen(self.take('nerf_utils.py:sample_pdf', 'rand'))
         return {'depth': depth, 'pdf_u': pdf_u}
 
+    def augment_tform(self):
+        """One 15-crop augment call's randomness, reconstructed into the
+        rebuild's AffineTransform (reference augment_impl draw order,
+        run.py:724-740: rot, rot-gate, scale, scale-gate, translation,
+        translation-gate). The inversion augments with p=1.0, so every
+        Bernoulli gate (rand < 1.0) passes — the gate draws are consumed
+        but vacuous."""
+        rot = (_regen(self.take('run.py:augment_impl', 'rand')) - 0.5) \
+            * 2.0 * np.pi
+        self.take('run.py:augment_impl', 'rand')  # rot gate, p=1
+        scale = jnp.exp2(
+            _regen(self.take('run.py:augment_impl', 'randn')) * 0.2)
+        self.take('run.py:augment_impl', 'rand')  # scale gate, p=1
+        translation = _regen(
+            self.take('run.py:augment_impl', 'randn')) * 0.1
+        self.take('run.py:augment_impl', 'rand')  # translation gate, p=1
+        return augment_lib.AffineTransform(rot=rot, scale=scale,
+                                           translation=translation)
+
 
 def _stub_lpips_params():
     """Rebuilds scripts/ref_stubs/lpips's seeded-random LPIPS weights
@@ -103,11 +127,13 @@ def _stub_lpips_params():
     return tc.convert_lpips(vgg_sd, lin_sd)
 
 
-@pytest.fixture(scope='module')
-def trajectory():
-    assert GOLDEN.exists(), \
-        'inversion golden missing; run scripts/gen_inversion_golden.py l1'
-    d = np.load(GOLDEN)
+@pytest.fixture(scope='module', params=['l1', 'vgg'])
+def trajectory(request):
+    golden = GOLDEN_DIR / f'trajectory_inversion_{request.param}.npz'
+    assert golden.exists(), \
+        f'inversion golden missing; run scripts/gen_inversion_golden.py ' \
+        f'{request.param}'
+    d = np.load(golden)
     cfg_ref = json.loads(str(d['config_json']))
     tape = json.loads(str(d['tape_json']))
     scalars = json.loads(str(d['scalars_json']))
@@ -196,12 +222,20 @@ def trajectory():
         rgb0, cam0 = eval_front(params, reader.render_noise())
         reader.render_noise()  # perm render draws
 
+        # Per-step tape draws, in the reference's order within a step:
+        # render (depth+pdf), then — vgg only — the 15-crop augment's
+        # transform (run.py:2269-2282 render, 2221-2229 augment).
+        step_noise = []
+        for _ in range(n_steps):
+            inj = {'render': reader.render_noise()}
+            if cfg_ref['loss'] in ('vgg', 'mixed'):
+                inj['tform'] = reader.augment_tform()
+            step_noise.append(inj)
         final_params, metrics = inv_opt.run_inversion(
             gen, gen_vars, lpips, lpips_vars, params, target_img, cfg,
             n_steps, jax.random.PRNGKey(0), gt_cam2world=gt_cam,
-            injected_noise={'render': jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs),
-                *[reader.render_noise() for _ in range(n_steps)])})
+            injected_noise=jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *step_noise))
 
         rgb5, cam5 = eval_front(final_params, reader.render_noise())
         reader.render_noise()  # perm render draws
@@ -281,12 +315,21 @@ def test_report_step0_pose_aliasing(trajectory):
     ('rot_error', 'monitor_b0/rot_error'),
 ])
 def test_per_step_monitors_match_reference(trajectory, key, tag):
-    """The 5 per-step refinement monitors of batch 0 (run.py:2288-2296)."""
+    """The 5 per-step refinement monitors of batch 0 (run.py:2288-2296).
+
+    Steps 0-1 are held tight (2e-4): step 0 depends only on the init,
+    step 1 on exactly one Adam update through the full loss — together
+    they pin the loss/gradient math. Later steps accumulate the Adam
+    sign-quantization drift (see test_final_ws_matches_reference); the
+    vgg loss amplifies it (LPIPS gradients put more w components at fp
+    noise level), measured rel drift at step 4 is ~1e-3."""
     results, scalars, _, cfg_ref = trajectory
     got = results[0]['steps'][key]
     ref = dict(scalars[tag])
+    late_rtol = 2e-3 if cfg_ref['loss'] == 'vgg' else 2e-4
     for t in range(cfg_ref['inv_steps']):
-        np.testing.assert_allclose(got[t], ref[t], rtol=2e-4, atol=2e-6,
+        rtol = 2e-4 if t <= 1 else late_rtol
+        np.testing.assert_allclose(got[t], ref[t], rtol=rtol, atol=2e-6,
                                    err_msg=f'{tag} @ step {t}')
 
 
@@ -294,18 +337,21 @@ def test_per_step_monitors_match_reference(trajectory, key, tag):
 @pytest.mark.parametrize('key', ['psnr', 'ssim', 'lpips', 'rot_error'])
 def test_report_metrics_match_reference(trajectory, step, key):
     """Front-view eval metrics at checkpoint steps (run.py:2076-2091)."""
-    results, _, report, _ = trajectory
+    results, _, report, cfg_ref = trajectory
     ref = report[f'{step}/{key}']
     got = np.concatenate(
         [np.asarray(r[f'eval{step}'][key]).reshape(-1) for r in results])
     # SSIM on noise-like 16px targets is a mean over a near-cancelling
     # s-map (|ssim| ~ 0.01), so absolute fp accumulation noise dominates
     # the relative scale; 2e-5 is still 1e-5 of the metric's range.
-    atol = 2e-5 if key == 'ssim' else 2e-6
+    vgg5 = cfg_ref['loss'] == 'vgg' and step == 5
+    atol = ((1e-4 if vgg5 else 2e-5) if key == 'ssim' else 2e-6)
     # Step-5 metrics render from params carrying the Adam-quantized w
-    # divergence (see test_final_ws_matches_reference); LPIPS is the
-    # most texture-sensitive of the four.
-    rtol = 1e-3 if (key == 'lpips' and step == 5) else 2e-4
+    # divergence (see test_final_ws_matches_reference); the vgg loss
+    # amplifies it (measured step-5 residuals: psnr 3.1e-4, lpips ~1e-3,
+    # ssim abs 4.5e-5); LPIPS is the most texture-sensitive of the four.
+    rtol = 2e-3 if vgg5 else (1e-3 if (key == 'lpips' and step == 5)
+                              else 2e-4)
     np.testing.assert_allclose(got, ref, rtol=rtol, atol=atol,
                                err_msg=f'report {key} @ {step}')
 
@@ -315,11 +361,14 @@ def test_final_pose_params_match_reference(trajectory, key):
     """Optimized pose params after 5 Adam steps + projections —
     transitively proves the whole refinement math (loss, grads, Adam,
     projections, run.py:2256-2317). Pose gradients are large, so their
-    Adam updates are sign-stable and match tightly."""
-    results, _, report, _ = trajectory
+    Adam updates are sign-stable and match tightly; under the vgg loss
+    the pose grads ride the noisier LPIPS backward, measured max rel
+    drift after 5 steps is 7.9e-4 (R)."""
+    results, _, report, cfg_ref = trajectory
     ref = report[f'5/{key}']
     got = np.concatenate([np.asarray(r['eval5'][key]) for r in results])
-    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-6,
+    rtol = 2e-3 if cfg_ref['loss'] == 'vgg' else 2e-4
+    np.testing.assert_allclose(got, ref, rtol=rtol, atol=2e-6,
                                err_msg=f'final {key}')
 
 
