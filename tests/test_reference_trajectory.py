@@ -220,9 +220,15 @@ def test_scalar_matches_reference(trajectory, step, key, tag):
     results, scalars = trajectory
     ref = _ref(scalars, tag, step)
     got = results[step][key]
+    # Defaults pinned just above the measured same-RNG fp32 CPU
+    # residuals (VERDICT r3 weak #6 / next #8): max over all 14 scalars
+    # is 7.9e-6 (loss/eikonal @ step 2, post-Adam accumulation); 1e-4
+    # gives 12x headroom while still catching a 0.1% systematic drift.
+    # Env overrides exist for residual measurement (NFI_TRAJ_RTOL=1e-12
+    # prints the true per-tag residuals).
     import os
-    rtol = float(os.environ.get('NFI_TRAJ_RTOL', 2e-3))
-    atol = float(os.environ.get('NFI_TRAJ_ATOL', 2e-5))
+    rtol = float(os.environ.get('NFI_TRAJ_RTOL', 1e-4))
+    atol = float(os.environ.get('NFI_TRAJ_ATOL', 2e-6))
     np.testing.assert_allclose(got, ref, rtol=rtol, atol=atol,
                                err_msg=f'{tag} @ step {step}')
 
