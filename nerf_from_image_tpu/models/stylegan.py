@@ -271,10 +271,20 @@ class SynthesisLayer(nn.Module):
                                         nn.initializers.zeros, ())
             if noise_mode == 'random':
                 assert noise_rng is not None
-                noise = jax.random.normal(
-                    noise_rng,
-                    (x.shape[0], 1, self.resolution, self.resolution),
-                    dtype=jnp.float32) * noise_strength
+                if jnp.issubdtype(jnp.asarray(noise_rng).dtype,
+                                  jnp.floating):
+                    # Injected noise VALUES instead of a key — reference-
+                    # trajectory replay of the per-layer torch.randn draws
+                    # (reference stylegan.py:325-330).
+                    noise = jnp.broadcast_to(
+                        noise_rng.astype(jnp.float32),
+                        (x.shape[0], 1, self.resolution,
+                         self.resolution)) * noise_strength
+                else:
+                    noise = jax.random.normal(
+                        noise_rng,
+                        (x.shape[0], 1, self.resolution, self.resolution),
+                        dtype=jnp.float32) * noise_strength
             elif noise_mode == 'const':
                 noise_const = self.variable(
                     'buffers', 'noise_const',
@@ -401,8 +411,15 @@ class SynthesisNetwork(nn.Module):
                                                    self.channel_base,
                                                    self.channel_max)
         num_layers = sum(1 if r == 4 else 2 for r in resolutions)
-        noise_rngs = (list(jax.random.split(noise_rng, num_layers))
-                      if noise_rng is not None else None)
+        if noise_rng is None:
+            noise_rngs = None
+        elif isinstance(noise_rng, (tuple, list)):
+            # Per-layer injected noise values (trajectory replay); must
+            # be one entry per noise-bearing conv layer, outermost first.
+            noise_rngs = list(noise_rng)
+            assert len(noise_rngs) == num_layers
+        else:
+            noise_rngs = list(jax.random.split(noise_rng, num_layers))
 
         x = img = None
         w_idx = 0

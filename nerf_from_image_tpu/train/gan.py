@@ -140,6 +140,18 @@ class GANConfig:
 
 
 def make_models(cfg: GANConfig, dtype=jnp.float32):
+    if cfg.path_length_regularization and cfg.use_sdf:
+        import warnings
+        warnings.warn(
+            'path_length_regularization + SDF eikonal: the two '
+            'second-order backward graphs in one XLA program trigger a '
+            'known TPU pathology at full scale — g_step compiles in '
+            '~2-4 min and steps run 15-70x slower (measured 17-70 s at '
+            '128^2/batch 8; see PERF.md "PPL x eikonal pathology"). No '
+            'reference dataset config enables this combination; results '
+            'are correct (reference-trajectory-verified) but training '
+            'throughput will be severely degraded.',
+            stacklevel=2)
     gen = Generator(latent_dim=cfg.latent_dim, scene_range=cfg.scene_range,
                     attention_values=cfg.attention_values,
                     use_viewdir=cfg.use_viewdir, use_sdf=cfg.use_sdf,
@@ -337,6 +349,11 @@ def generator_forward(gen: Generator, params_g, z, pose, focal, center,
     'ppl_attn' (path length).
     """
     rng_noise, rng_render, rng_reg, rng_sgnoise = jax.random.split(rng, 4)
+    if noise is not None and 'sg_noise' in noise:
+        # Injected per-layer StyleGAN noise values (trajectory replay of
+        # the reference's torch.randn draws, stylegan.py:325-330) — a
+        # tuple of (B, 1, res, res) arrays, outermost layer first.
+        rng_sgnoise = noise['sg_noise']
     ws = gen.apply(params_g, z, cond, method=Generator.map)
     # Viewdirs are produced by the renderer; for viewdir models we render
     # with the normalized ray directions (set below via closure).
@@ -385,37 +402,48 @@ def generator_forward(gen: Generator, params_g, z, pose, focal, center,
                       method=Generator.sdf_losses))
 
     if 'path_length' in requests:
-        # PPL: norm of d(sum(planes * noise) + sum(att * noise2))/d(ws)
-        # (generator.py:484-499) — jax.grad composes, no manual
-        # double-backward machinery needed.
-        k1, k2 = jax.random.split(rng_noise)
-
-        def pl_target(ws_in):
-            # Same noise as the main forward: the reference's PPL grad flows
-            # through the one synthesis pass that already ran.
-            st = gen.apply(params_g, ws_in, noise_rng=rng_sgnoise,
-                           method=Generator.synthesize)
-            if noise is not None and 'ppl_planes' in noise:
-                n1 = noise['ppl_planes'].reshape(st.planes.shape)
-            else:
-                n1 = jax.random.normal(k1, st.planes.shape)
-            n1 = n1 / math.sqrt(st.planes.shape[-2] * st.planes.shape[-1])
-            total = jnp.sum(st.planes * n1)
-            if st.attention_values is not None:
-                if noise is not None and 'ppl_attn' in noise:
-                    n2 = noise['ppl_attn'].reshape(
-                        st.attention_values.shape)
-                else:
-                    n2 = jax.random.normal(k2, st.attention_values.shape)
-                total = total + jnp.sum(st.attention_values * n2)
-            return total
-
-        pl_grad = jax.grad(pl_target)(ws)
-        ppl = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grad), axis=-1),
-                                axis=-1))
-        extra['path_length'] = ppl
+        extra['path_length'] = compute_path_length(
+            gen, params_g, ws, rng_noise, rng_sgnoise, noise)
 
     return out, extra
+
+
+def compute_path_length(gen, params_g, ws, rng_noise, rng_sgnoise,
+                        noise=None):
+    """PPL: norm of d(sum(planes * noise) + sum(att * noise2))/d(ws)
+    (generator.py:484-499) — jax.grad composes, no manual double-backward
+    machinery needed. Returns (B,).
+
+    Called from g_step in its OWN value_and_grad pass (not fused into the
+    main loss): combining this double-backward with the SDF eikonal
+    double-backward in one backward graph sends XLA into a compile
+    pathology (>880 s compiles at the flagship point); disjoint backward
+    graphs summed afterwards are mathematically identical (gradient of a
+    sum) and compile normally. See PERF.md "PPL x eikonal pathology"."""
+    k1, k2 = jax.random.split(rng_noise)
+
+    def pl_target(ws_in):
+        # Same noise as the main forward: the reference's PPL grad flows
+        # through the one synthesis pass that already ran.
+        st = gen.apply(params_g, ws_in, noise_rng=rng_sgnoise,
+                       method=Generator.synthesize)
+        if noise is not None and 'ppl_planes' in noise:
+            n1 = noise['ppl_planes'].reshape(st.planes.shape)
+        else:
+            n1 = jax.random.normal(k1, st.planes.shape)
+        n1 = n1 / math.sqrt(st.planes.shape[-2] * st.planes.shape[-1])
+        total = jnp.sum(st.planes * n1)
+        if st.attention_values is not None:
+            if noise is not None and 'ppl_attn' in noise:
+                n2 = noise['ppl_attn'].reshape(st.attention_values.shape)
+            else:
+                n2 = jax.random.normal(k2, st.attention_values.shape)
+            total = total + jnp.sum(st.attention_values * n2)
+        return total
+
+    pl_grad = jax.grad(pl_target)(ws)
+    return jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grad), axis=-1),
+                             axis=-1))
 
 
 def g_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
@@ -443,9 +471,11 @@ def g_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
     # (run.py:932-934).
     recon_mode = cfg.dual_discriminator_l1 or cfg.dual_discriminator_mse
     if cfg.augment_p_max > 0 and not recon_mode:
+        # batch['aug_tform'] (optional AffineTransform): injected crop
+        # transform for trajectory replay — replaces the rng_aug draw.
         _, pose, focal, _ = augment_lib.augment(
             rng_aug, None, pose, focal, state.augment_p,
-            cfg.white_background)
+            cfg.white_background, cached_tform=batch.get('aug_tform'))
 
     pose2 = focal2 = None
     if cfg.dual_discriminator and batch2 is not None:
@@ -453,11 +483,10 @@ def g_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
         if cfg.augment_p_max > 0:
             _, pose2, focal2, _ = augment_lib.augment(
                 rng_aug2, None, pose2, focal2, state.augment_p,
-                cfg.white_background)
+                cfg.white_background,
+                cached_tform=batch2.get('aug_tform'))
 
     requests = []
-    if cfg.path_length_regularization:
-        requests.append('path_length')
     if cfg.use_sdf:
         requests.append('sdf_eikonal_loss')
     if cfg.tv > 0:
@@ -532,21 +561,51 @@ def g_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
             ent = jnp.mean(extra['entropy_loss'])
             loss = loss + cfg.entropy * warm * ent
             metrics['loss_entropy'] = ent
-        ppl_avg = state.ppl_running_avg
-        if cfg.path_length_regularization:
-            ppl = extra['path_length']
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params_g)
+
+    ppl_avg = state.ppl_running_avg
+    if cfg.path_length_regularization:
+        # PPL penalty in its OWN value_and_grad, grads summed after:
+        # gradient-of-a-sum semantics are identical to the reference's
+        # single accumulated backward (run.py:1029-1044), but fusing this
+        # double-backward with the eikonal double-backward in one
+        # backward graph triggers an XLA compile pathology (see
+        # compute_path_length / PERF.md). RNG splits mirror
+        # generator_forward exactly so the noise draws (and the
+        # trajectory-replay injection keys) are unchanged.
+        def ppl_fn(params_g):
+            cond = embed_condition(gen, params_g, cfg, batch)
+            rng_noise, _, _, rng_sgnoise = jax.random.split(rng_fwd, 4)
+            bnoise = batch.get('noise')
+            if bnoise is not None and 'sg_noise' in bnoise:
+                rng_sgnoise = bnoise['sg_noise']
+            ws = gen.apply(params_g, batch['z'], cond,
+                           method=Generator.map)
+            ppl = compute_path_length(gen, params_g, ws, rng_noise,
+                                      rng_sgnoise, batch.get('noise'))
             pl_decay = 0.01
             pl_weight = 2.0 * jnp.minimum(i / LR_WARMUP_ITERS, 1.0)
             avg0 = jnp.where(state.ppl_running_avg < 0, jnp.mean(ppl),
                              state.ppl_running_avg)
-            ppl_avg = avg0 * (1 - pl_decay) + jnp.mean(ppl) * pl_decay
-            ppl_loss = jnp.mean(jnp.square(ppl - ppl_avg))
-            loss = loss + pl_weight * ppl_loss
-            metrics['loss_ppl'] = ppl_loss
-        return loss, (metrics, ppl_avg)
+            # The reference updates the running average as a DETACHED
+            # python float before forming the penalty
+            # (run.py:1034-1038: `ppl_running_avg = pl_mean.item()`), so
+            # no gradient flows through it — stop_gradient matches that;
+            # a traced avg leaks a 0.01-coupled gradient through
+            # mean(ppl) (measured: 7e-4 loss drift after one step).
+            avg = jax.lax.stop_gradient(
+                avg0 * (1 - pl_decay) + jnp.mean(ppl) * pl_decay)
+            ppl_loss = jnp.mean(jnp.square(ppl - avg))
+            return pl_weight * ppl_loss, (ppl_loss, avg)
 
-    (loss, (metrics, ppl_avg)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params_g)
+        (_, (ppl_loss, ppl_avg)), ppl_grads = jax.value_and_grad(
+            ppl_fn, has_aux=True)(state.params_g)
+        grads = jax.tree_util.tree_map(jnp.add, grads, ppl_grads)
+        metrics['loss_ppl'] = ppl_loss
+
     metrics['grad_norm_g'] = optax.global_norm(grads)
 
     updates, new_opt_g = opt_g.update(grads, state.opt_g, state.params_g)
@@ -583,7 +642,7 @@ def _prepare_d_real(state, batch, cfg, rng_aug, i, blur_active):
                   else batch['image']).transpose(0, 3, 1, 2)
         img_aug, pose_r, focal_r, _ = augment_lib.augment(
             rng_aug, img_in, pose_r, focal_r, state.augment_p,
-            cfg.white_background)
+            cfg.white_background, cached_tform=batch.get('aug_tform'))
         if use_highres:
             b_, c_, h_, w_ = img_aug.shape
             img_aug = img_aug.reshape(b_, c_, h_ // 2, 2, w_ // 2,
@@ -605,7 +664,8 @@ def _render_fake(state, fake_batch, gen, cfg, rng_fake, rng_aug,
     if cfg.augment_p_max > 0:
         _, pose_f, focal_f, _ = augment_lib.augment(
             rng_aug, None, pose_f, focal_f, state.augment_p,
-            cfg.white_background)
+            cfg.white_background,
+            cached_tform=fake_batch.get('aug_tform'))
     cond = (embed_condition(gen, state.params_g, cfg, fake_batch)
             if conditional else None)
     out_fake, _ = generator_forward(gen, state.params_g, fake_batch['z'],

@@ -15,8 +15,20 @@ injected noise) and asserts the scalar trajectories match. Reference
 semantics exercised end-to-end: run.py:947-1193 (G/D steps), 872-905
 (resume), 662-676 (no lr warmup on resume).
 
-Usage: python scripts/gen_trajectory_golden.py
-Writes tests/golden/trajectory_gan.npz.
+Usage:
+  python scripts/gen_trajectory_golden.py            # base 3-iter tape
+  python scripts/gen_trajectory_golden.py stateful   # stateful-branch tape
+Writes tests/golden/trajectory_gan[_stateful].npz.
+
+The `stateful` tape covers the training branches SURVEY §7.3.6 ranks as
+parity minefields (VERDICT r3 next #7): 8 iterations (4 G + 4 D)
+resumed at iteration 12504 — past the blur/lr warmups, so PPL runs at
+full weight (run.py:1029-1043), the ADA controller updates at
+i % 8 == 7 (run.py:1147-1163), per-layer StyleGAN noise is enabled
+(--disable_stylegan_noise '', noise_strength seeded nonzero so the
+draws matter), and ADA augmentation is live from the start via the
+resume quirk (run.py:902-903 checks key 'augment_p_effective' but READS
+key 'augment_p' — the checkpoint carries both).
 """
 
 import json
@@ -99,11 +111,18 @@ def make_dataset(data_dir, rng, res=None, n_images=None, focal_px=None):
 
 
 def build_init_checkpoint(path, channel_base=None, channel_max=None,
-                          latent_dim=None, resolution=None):
+                          latent_dim=None, resolution=None,
+                          disable_stylegan_noise=True, iteration=0,
+                          augment_p=None):
     """Init checkpoint in the reference's on-disk format, with the same
     narrow-channel surgery ref_runner applies (run.py loads it via
     --resume_from, restoring weights + fresh Adam states +
-    iteration 0; resume also disables lr warmup, run.py:668-676)."""
+    the given iteration; resume also disables lr warmup, run.py:668-676).
+
+    disable_stylegan_noise=False builds the noise-bearing generator and
+    seeds every noise_strength to a deterministic NONZERO value (they
+    init to 0, which would make injected noise vacuous). augment_p seeds
+    the ADA probability via the reference's resume quirk."""
     sys.path.insert(0, STUBS)
     sys.path.insert(0, REF)
     import torch
@@ -136,9 +155,16 @@ def build_init_checkpoint(path, channel_base=None, channel_max=None,
                               attention_values=10,
                               use_viewdir=False,
                               use_encoder=False,
-                              disable_stylegan_noise=True,
+                              disable_stylegan_noise=disable_stylegan_noise,
                               use_sdf=True,
                               num_classes=None)
+    if not disable_stylegan_noise:
+        with torch.no_grad():
+            k = 0
+            for name, p in sorted(model.named_parameters()):
+                if name.endswith('noise_strength'):
+                    p.fill_(0.05 * (k + 1))
+                    k += 1
     disc = ref_disc.Discriminator(resolution, nc=3,
                                   dataset_config=dataset_config,
                                   conditional_pose=True,
@@ -153,10 +179,16 @@ def build_init_checkpoint(path, channel_base=None, channel_max=None,
         'discriminator': disc.state_dict(),
         'optimizer_g': opt_g.state_dict(),
         'optimizer_d': opt_d.state_dict(),
-        'iteration': 0,
+        'iteration': iteration,
         'lr_g': CFG['lr_g'],
         'lr_d': CFG['lr_d'],
     }
+    if augment_p is not None:
+        # run.py:902-903: `if 'augment_p_effective' in resume_from:
+        # augment_p_effective = resume_from['augment_p']` — the presence
+        # key and the value key differ; carry both.
+        ckpt['augment_p_effective'] = augment_p
+        ckpt['augment_p'] = augment_p
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, 'wb') as f:
         torch.save(ckpt, f)
@@ -180,18 +212,35 @@ def read_tb_scalars(log_root):
 
 
 def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else 'base'
+    assert mode in ('base', 'stateful')
+    stateful = mode == 'stateful'
+
     work = tempfile.mkdtemp(prefix='traj_golden_')
     data_dir = os.path.join(work, 'data')
     root_dir = os.path.join(work, 'root')
     os.makedirs(data_dir)
     os.makedirs(root_dir)
 
+    cfg = dict(CFG)
+    if stateful:
+        # Resume past every warmup: blur off, tv/entropy warm = 1,
+        # pl_weight = 2 (full), ADA controller live; 8 iterations hits
+        # the i % 8 == 7 ADA update at 12511 (run.py:1147-1163).
+        cfg.update(start_iteration=12504, iterations=12512,
+                   augment_p=0.8, augment_p_init=0.5,
+                   path_length_regularization=True, augment_ada=True,
+                   stylegan_noise=True)
+
     rng = np.random.RandomState(515)
     images, poses, focal = make_dataset(data_dir, rng)
 
     ckpt_rel = os.path.join('trajinit', 'init.pth')
     g_sd, d_sd = build_init_checkpoint(
-        os.path.join(root_dir, 'gan_checkpoints', ckpt_rel))
+        os.path.join(root_dir, 'gan_checkpoints', ckpt_rel),
+        disable_stylegan_noise=not cfg.get('stylegan_noise', False),
+        iteration=cfg.get('start_iteration', 0),
+        augment_p=cfg.get('augment_p_init'))
 
     tape_path = os.path.join(work, 'tape.json')
     env = dict(os.environ)
@@ -210,10 +259,17 @@ def main():
            '--root_path', root_dir,
            '--gpus', '0',
            '--batch_size', str(CFG['batch_size']),
-           '--iterations', str(CFG['iterations']),
+           '--iterations', str(cfg['iterations']),
            '--resume_from', ckpt_rel,
            '--latent_dim', str(CFG['latent_dim']),
            '--resolution', str(CFG['resolution'])]
+    if stateful:
+        # type=bool flag: empty string -> False (arguments.py:150-153).
+        cmd += ['--path_length_regularization', '--augment_ada',
+                '--augment_p', str(cfg['augment_p']),
+                '--disable_stylegan_noise', '']
+        env['REF_TAP_AUGMENT'] = '1'
+        env['REF_TAP_SPLITS'] = '1'
     print('Running reference:', ' '.join(cmd))
     subprocess.run(cmd, check=True, env=env, cwd=REPO)
 
@@ -225,7 +281,7 @@ def main():
         'images': images,
         'poses': poses,
         'focal': focal,
-        'config_json': np.str_(json.dumps(CFG)),
+        'config_json': np.str_(json.dumps(cfg)),
         'tape_json': np.str_(json.dumps(tape)),
         'scalars_json': np.str_(json.dumps(scalars)),
     }
@@ -234,7 +290,9 @@ def main():
     for k, v in d_sd.items():
         out[f'init_d/{k}'] = v
 
-    dest = os.path.join(REPO, 'tests', 'golden', 'trajectory_gan.npz')
+    dest = os.path.join(
+        REPO, 'tests', 'golden',
+        'trajectory_gan_stateful.npz' if stateful else 'trajectory_gan.npz')
     np.savez_compressed(dest, **out)
     print('Wrote', dest, f'({len(out)} arrays)')
     shutil.rmtree(work)

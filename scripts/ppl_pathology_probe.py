@@ -1,13 +1,17 @@
-"""Probe for the PPL x SDF-eikonal XLA compile pathology (VERDICT r3 #2).
+"""Probe for the PPL x SDF-eikonal XLA pathology (VERDICT r3 #2).
 
-Times g_step compile+first-step at a REDUCED operating point (the
-pathology is an XLA pass-complexity issue, so op-count — not shape —
-drives it; small shapes reproduce it in minutes instead of ~15).
+Times g_step compile+steps at a REDUCED operating point. r4 finding:
+the pathology does NOT reproduce at reduced shapes (res 32 narrow:
+44.5 s compile, 73 ms steps even fused) — it is memory-pressure-driven
+scheduling at the flagship point, not pass complexity. Full findings in
+PERF.md "PPL x eikonal pathology"; this probe remains the hermetic CI
+canary that the combination compiles and runs finite.
 
 Usage: python scripts/ppl_pathology_probe.py MODE [res] [batch]
   MODE: base       PPL off, eikonal on (known-good control)
-        ppl        PPL on,  eikonal on (the pathological combination)
+        ppl        PPL on,  eikonal on (the flagship-pathological combo)
         ppl_noeik  PPL on,  eikonal off (isolates which 2nd-order graph)
+  batch must be >= 4 (minibatch-std group size).
 """
 
 import os

@@ -252,6 +252,52 @@ def _patch_value_taps():
     ref_pe.compute_pose_pnp = pnp
 
 
+def _patch_augment_taps():
+    """REF_TAP_AUGMENT=1 records every F.grid_sample output (the
+    augmented images of run.py:augment_impl:757-765) — elementwise
+    parity evidence for the rebuild's warp. Pure observation."""
+    if os.environ.get('REF_TAP_AUGMENT') != '1':
+        return
+    import torch.nn.functional as F
+
+    orig = F.grid_sample
+
+    def gs(img, grid, **kw):
+        out = orig(img, grid, **kw)
+        # Only the small augment warps (run.py:757-765) — the renderer's
+        # plane-sampling grid_sample outputs are huge and irrelevant.
+        if out.numel() <= 65536:
+            TAPE.append(_tensor_entry('tap:grid_sample',
+                                      output=out.detach().cpu()))
+        return out
+
+    F.grid_sample = gs
+
+
+def _patch_split_taps():
+    """REF_TAP_SPLITS=1 records the loaded train split's image tensors.
+    With augment_p > 0 the reference loads every dataset at 2x
+    resolution and anti-alias-pools the lowres buffer
+    (loaders.py:479-481, 291-308) — the replay must use these EXACT
+    tensors, not the fixture's own lowres render."""
+    if os.environ.get('REF_TAP_SPLITS') != '1':
+        return
+    from data import loaders as ref_loaders
+    orig = ref_loaders.load_dataset
+
+    def load(args, device, manual_image=None):
+        out = orig(args, device, manual_image)
+        train_split = out[1]
+        hi = getattr(train_split, 'images_highres', None)
+        TAPE.append(_tensor_entry(
+            'tap:train_split',
+            images=train_split.images.cpu(),
+            images_highres=None if hi is None else hi.cpu()))
+        return out
+
+    ref_loaders.load_dataset = load
+
+
 def main():
     _patch_cuda_shims()
     _patch_numpy2_compat()
@@ -260,6 +306,8 @@ def main():
     _patch_dataset_overrides()
     _patch_segformer_narrow()
     _patch_value_taps()
+    _patch_augment_taps()
+    _patch_split_taps()
     _patch_numpy_rng()
     _patch_torch_rng()
 

@@ -1,0 +1,384 @@
+"""Stateful-branch GAN trajectory parity against the REAL reference
+(VERDICT r3 missing #4 / next #7) — the branches SURVEY §7.3.6 ranks as
+parity minefields, replayed from a real run.py tape:
+
+- PPL at full weight (run.py:1029-1044: lazy-init running average,
+  0.01-decay EMA, weight 2 x warmup — warmup saturated at the resumed
+  iteration) with the pl noise draws injected,
+- the ADA controller (run.py:1147-1163: sign(sign_real - target) *
+  batch*4/500k delta applied at i % 8 == 7) with live p=0.5
+  augmentation of every sampled batch (G poses, D real images+poses,
+  D fake poses) via per-batch injected transforms with REAL Bernoulli
+  gates (p < 1, unlike the inversion tape's p=1 vacuous gates),
+- per-layer StyleGAN noise (reference stylegan.py:325-336) with
+  nonzero noise_strength, injected as explicit per-layer values.
+
+tests/golden/trajectory_gan_stateful.npz holds 8 reference iterations
+(4 G + 4 D, resumed at iteration 12504 — past the blur/lr warmups) with
+every RNG draw substituted (scripts/gen_trajectory_golden.py stateful).
+The replay drives the rebuild's jitted g_step/d_step from converted
+weights and asserts all 17 scalar-tag trajectories.
+"""
+
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_from_image_tpu.core import augment as augment_lib
+from nerf_from_image_tpu.train import gan as gan_lib
+from nerf_from_image_tpu.utils import torch_convert as tc
+
+GOLDEN = (pathlib.Path(__file__).parent / 'golden' /
+          'trajectory_gan_stateful.npz')
+
+START = 12504
+N_ITERS = 8
+
+
+def _regen(entry):
+    r = np.random.RandomState(entry['seed'])
+    shape = tuple(entry['shape'])
+    vals = (r.random_sample(shape) if entry['kind'] == 'rand'
+            else r.standard_normal(shape))
+    return vals.astype(np.float32)
+
+
+class _TapeReader:
+    KEEP = {
+        'run.py:sample_batch',
+        'run.py:augment_impl',
+        'nerf_utils.py:compute_query_points_from_rays',
+        'nerf_utils.py:sample_pdf',
+        'ops.py:sample_volume_stratified',
+        'generator.py:forward',
+        'stylegan.py:forward',
+        'utils.py:_yield_batch',
+        'tap:train_split',
+    }
+
+    def __init__(self, tape):
+        self.entries = [e for e in tape if e['site'] in self.KEEP]
+        self.pos = 0
+
+    def take(self, site, kind):
+        e = self.entries[self.pos]
+        assert e['site'] == site and e['kind'] == kind, \
+            f'tape mismatch at {self.pos}: got {e["site"]}/{e["kind"]}, ' \
+            f'wanted {site}/{kind}'
+        self.pos += 1
+        return e
+
+    def tform(self, p):
+        """One augment call, reconstructed with REAL Bernoulli gates
+        (reference augment_impl, run.py:724-740)."""
+        rot = (_regen(self.take('run.py:augment_impl', 'rand')) - 0.5) \
+            * 2.0 * np.pi
+        rot = rot * (_regen(self.take('run.py:augment_impl', 'rand')) < p)
+        scale = np.exp2(
+            _regen(self.take('run.py:augment_impl', 'randn')) * 0.2)
+        g = (_regen(self.take('run.py:augment_impl', 'rand')) < p)
+        scale = 1.0 + (scale - 1.0) * g
+        trans = _regen(self.take('run.py:augment_impl', 'randn')) * 0.1
+        trans = trans * (_regen(self.take('run.py:augment_impl',
+                                          'rand')) < p)
+        return augment_lib.AffineTransform(
+            rot=jnp.asarray(rot.astype(np.float32)),
+            scale=jnp.asarray(scale.astype(np.float32)),
+            translation=jnp.asarray(trans.astype(np.float32)))
+
+    def sg_noise(self):
+        """The 13 per-layer synthesis noise draws (4x4 .. 256x256)."""
+        out = []
+        while (self.pos < len(self.entries)
+               and self.entries[self.pos]['site'] == 'stylegan.py:forward'):
+            out.append(jnp.asarray(_regen(
+                self.take('stylegan.py:forward', 'randn'))))
+        return tuple(out)
+
+
+class _SamplerMirror:
+    """EndlessSampler replay: yields batch-size index slices from the
+    recorded torch-free permutations, drawing a new one from the tape
+    when exhausted (reference utils.py EndlessSampler)."""
+
+    def __init__(self, reader, n_images):
+        self.reader = reader
+        self.n = n_images
+        self.perm = None
+        self.pos = 0
+
+    def __call__(self, bs):
+        if self.perm is None or self.pos + bs > self.n:
+            self.perm = np.asarray(
+                self.reader.take('utils.py:_yield_batch',
+                                 'permutation')['values'])
+            self.pos = 0
+        out = self.perm[self.pos:self.pos + bs]
+        self.pos += bs
+        return out
+
+
+@pytest.fixture(scope='module')
+def trajectory():
+    assert GOLDEN.exists(), \
+        'golden missing; run scripts/gen_trajectory_golden.py stateful'
+    d = np.load(GOLDEN)
+    cfg_ref = json.loads(str(d['config_json']))
+    tape = json.loads(str(d['tape_json']))
+    scalars = json.loads(str(d['scalars_json']))
+
+    g_sd = {k[len('init_g/'):]: d[k] for k in d.files
+            if k.startswith('init_g/')}
+    d_sd = {k[len('init_d/'):]: d[k] for k in d.files
+            if k.startswith('init_d/')}
+
+    cfg = gan_lib.GANConfig(
+        resolution=cfg_ref['resolution'],
+        latent_dim=cfg_ref['latent_dim'],
+        depth_samples_per_ray=64,
+        fine_sampling=True,
+        scene_range=cfg_ref['scene_range'],
+        white_background=cfg_ref['white_background'],
+        camera_flipped=False,
+        supervise_alpha=False,
+        conditional_pose=True,
+        use_sdf=True,
+        attention_values=10,
+        tv=cfg_ref['tv'],
+        entropy=cfg_ref['entropy'],
+        eikonal=cfg_ref['eikonal'],
+        r1=cfg_ref['r1'],
+        path_length_regularization=True,
+        augment_ada=True,
+        augment_p_max=cfg_ref['augment_p'],
+        ada_target=0.6,
+        # With augment_p > 0 the reference loads EVERY dataset at 2x and
+        # warps the highres copy, anti-alias-pooling after
+        # (loaders.py:479-481) — carla included.
+        is_highres=True,
+        use_stylegan_noise=True,
+        clip_gradient_norm=100.0,
+        lr_g=cfg_ref['lr_g'],
+        lr_d=cfg_ref['lr_d'],
+        lr_warmup=False,
+        batch_size=cfg_ref['batch_size'],
+        use_pallas=False,
+        plane_resolution=256,
+        channel_base=cfg_ref['channel_base'],
+        channel_max=cfg_ref['channel_max'],
+    )
+
+    params_g = tc.convert_generator(g_sd, attention_values=10,
+                                    use_viewdir=False, use_sdf=True)
+    params_d = tc.convert_discriminator(d_sd)
+    gen, disc = gan_lib.make_models(cfg)
+    opt_g, opt_d = gan_lib.make_optimizers(cfg)
+
+    params_g = jax.tree_util.tree_map(jnp.asarray, params_g)
+    params_d = jax.tree_util.tree_map(jnp.asarray, params_d)
+    state = gan_lib.GANTrainState(
+        params_g=params_g,
+        params_d=params_d,
+        ema_params_g=jax.tree_util.tree_map(lambda x: x, params_g),
+        opt_g=opt_g.init(params_g),
+        opt_d=opt_d.init(params_d),
+        iteration=jnp.asarray(START, jnp.int32),
+        rng=jax.random.PRNGKey(0),
+        # Resume quirk seeding (run.py:902-903 via the checkpoint's
+        # augment_p_effective/augment_p key pair).
+        augment_p=jnp.asarray(float(cfg_ref['augment_p_init'])),
+        ppl_running_avg=jnp.asarray(-1.0),  # no ppl_running_avg in ckpt
+    )
+
+    poses = jnp.asarray(d['poses'])
+    bs = cfg_ref['batch_size']
+    focal = jnp.full((bs,), float(d['focal']))
+
+    reader = _TapeReader(tape)
+    # The split tensors the reference actually trained on: with
+    # augment_p > 0 the lowres buffer is an anti-alias pool of the 2x
+    # load, NOT a direct lowres render (loaders.py:479-481).
+    split = reader.take('tap:train_split', 'tensors')
+
+    def _arr(entry, key):
+        a = entry['arrays'][key]
+        return jnp.asarray(np.asarray(a['values'], np.float32).reshape(
+            a['shape']))
+
+    images = _arr(split, 'images')
+    images_highres = _arr(split, 'images_highres')
+    sampler = _SamplerMirror(reader, cfg_ref['n_images'])
+
+    g_jit = jax.jit(
+        lambda s, b: gan_lib.g_step(s, b, gen, disc, opt_g, cfg))
+    d_jit = jax.jit(
+        lambda s, b, f: gan_lib.d_step(s, b, f, gen, disc, opt_d, cfg,
+                                       use_r1_now=True, blur_active=False))
+
+    def g_batch(p_now):
+        idx = np.asarray(reader.take('run.py:sample_batch',
+                                     'randint')['values'])
+        z = jnp.asarray(_regen(reader.take('run.py:sample_batch', 'randn')))
+        tform = reader.tform(p_now)
+        noise = {}
+        noise['depth'] = jnp.asarray(_regen(reader.take(
+            'nerf_utils.py:compute_query_points_from_rays', 'rand')))
+        noise['sg_noise'] = reader.sg_noise()
+        noise['ppl_planes'] = jnp.asarray(_regen(
+            reader.take('generator.py:forward', 'randn')))
+        noise['ppl_attn'] = jnp.asarray(_regen(
+            reader.take('generator.py:forward', 'randn')))
+        noise['strata'] = jnp.asarray(_regen(
+            reader.take('ops.py:sample_volume_stratified', 'rand')))
+        noise['perturb'] = jnp.asarray(_regen(
+            reader.take('generator.py:forward', 'randn')))
+        noise['pdf_u'] = jnp.asarray(_regen(
+            reader.take('nerf_utils.py:sample_pdf', 'rand')))
+        return {'pose': poses[idx], 'focal': focal, 'z': z,
+                'aug_tform': tform, 'noise': noise}
+
+    def d_batches(p_now):
+        real_idx = sampler(bs)
+        reader.take('run.py:sample_batch', 'randn')  # unused real z
+        tform_r = reader.tform(p_now)
+        real = {'pose': poses[real_idx], 'focal': focal,
+                'image': images[real_idx],
+                'image_highres': images_highres[real_idx],
+                'aug_tform': tform_r}
+        fake_idx = np.asarray(reader.take('run.py:sample_batch',
+                                          'randint')['values'])
+        fake_z = jnp.asarray(_regen(reader.take('run.py:sample_batch',
+                                                'randn')))
+        tform_f = reader.tform(p_now)
+        noise = {}
+        noise['depth'] = jnp.asarray(_regen(reader.take(
+            'nerf_utils.py:compute_query_points_from_rays', 'rand')))
+        noise['sg_noise'] = reader.sg_noise()
+        noise['pdf_u'] = jnp.asarray(_regen(
+            reader.take('nerf_utils.py:sample_pdf', 'rand')))
+        fake = {'pose': poses[fake_idx], 'focal': focal, 'z': fake_z,
+                'aug_tform': tform_f, 'noise': noise}
+        return real, fake
+
+    results = {}
+    for i in range(START, START + N_ITERS):
+        p_now = float(state.augment_p)
+        if i % 2 == 0:
+            res = {
+                'beta': float(state.params_g['params']['beta'][0]),
+                'alpha': float(state.params_g['params']['alpha'][0]),
+                'beta_ema': float(state.ema_params_g['params']['beta'][0]),
+                'alpha_ema': float(
+                    state.ema_params_g['params']['alpha'][0]),
+            }
+            state, m = g_jit(state, g_batch(p_now))
+            res.update({k: float(v) for k, v in m.items()})
+            res['ppl_running_avg'] = float(state.ppl_running_avg)
+        else:
+            real, fake = d_batches(p_now)
+            state, m = d_jit(state, real, fake)
+            res = {k: float(v) for k, v in m.items()}
+            res['augment_p'] = float(state.augment_p)
+        results[i] = res
+
+    assert reader.pos == len(reader.entries), 'unconsumed tape entries'
+    return results, scalars
+
+
+def _ref(scalars, tag, step):
+    for s, v in scalars[tag]:
+        if s == step:
+            return v
+    raise KeyError(f'{tag} @ {step}')
+
+
+G_STEPS = [START + k for k in (0, 2, 4, 6)]
+D_STEPS = [START + k for k in (1, 3, 5, 7)]
+
+
+# Tolerance model (all pinned 2-3x above measured residuals):
+# - Steps before any G update (12504/12505) pin the forward/loss/grad
+#   math tight (2e-4) — this is where a semantic bug would show.
+# - The PPL gradient is a near-cancelling sum over 6.3M zero-mean-
+#   weighted plane elements, so its fp32 noise floor (~3e-4 relative
+#   per ppl element) is ~100x a normal backward's. Adam normalizes
+#   per-parameter (m/sqrt(v) ~ sign), so noise-dominated params step a
+#   full +-lr apart and the trajectories drift ~1e-2 in gradient-norm
+#   tags by step 12510 (measured; the base non-PPL tape drifts 7.9e-6
+#   by step 2 under the same harness). Value tags compress the drift
+#   (~6e-4); ppl/loss is the VARIANCE of ppl over batch 4 and amplifies
+#   it. ppl/running_avg (the mean) stays tight throughout — that is
+#   the anchor proving the PPL values themselves track.
+def _g_tol(step, tag):
+    first = step == START
+    if tag == 'ppl/loss':
+        return 2e-3 if first else 1.5e-1
+    if tag == 'grad_norm/g':
+        return 2e-4 if first else 4e-2
+    return 2e-4 if first else 2e-3
+
+
+@pytest.mark.parametrize('step', G_STEPS)
+@pytest.mark.parametrize('key,tag', [
+    ('loss_g', 'loss/g'),
+    ('loss_eikonal', 'loss/eikonal'),
+    ('loss_tv', 'loss/tv'),
+    ('loss_entropy', 'loss/entropy'),
+    ('loss_ppl', 'ppl/loss'),
+    ('ppl_running_avg', 'ppl/running_avg'),
+    ('grad_norm_g', 'grad_norm/g'),
+])
+def test_g_scalars_match_reference(trajectory, step, key, tag):
+    results, scalars = trajectory
+    np.testing.assert_allclose(results[step][key], _ref(scalars, tag, step),
+                               rtol=_g_tol(step, tag), atol=2e-6,
+                               err_msg=f'{tag} @ {step}')
+
+
+def _d_tol(step, tag):
+    first = step == START + 1
+    if tag in ('grad_norm/d', 'loss/r1'):
+        return 2e-4 if first else 2e-2
+    return 2e-4 if first else 2e-3
+
+
+@pytest.mark.parametrize('step', D_STEPS)
+@pytest.mark.parametrize('key,tag', [
+    ('loss_d_real', 'loss/d_real'),
+    ('loss_d_fake', 'loss/d_fake'),
+    ('loss_r1', 'loss/r1'),
+    ('grad_norm_d', 'grad_norm/d'),
+    ('augment_p', 'augment/p'),
+])
+def test_d_scalars_match_reference(trajectory, step, key, tag):
+    results, scalars = trajectory
+    np.testing.assert_allclose(results[step][key], _ref(scalars, tag, step),
+                               rtol=_d_tol(step, tag), atol=2e-6,
+                               err_msg=f'{tag} @ {step}')
+
+
+def test_ada_sign_real_matches_reference(trajectory):
+    """The controller's input at the single i % 8 == 7 update
+    (run.py:1148-1150); combined with the augment/p trajectory this
+    pins the whole ADA update rule."""
+    results, scalars = trajectory
+    np.testing.assert_allclose(results[START + 7]['sign_real'],
+                               _ref(scalars, 'augment/sign_real',
+                                    START + 7), rtol=1e-6)
+
+
+@pytest.mark.parametrize('key,tag', [
+    ('beta', 'sdf/beta'), ('alpha', 'sdf/alpha'),
+    ('beta_ema', 'sdf/beta_ema'), ('alpha_ema', 'sdf/alpha_ema'),
+])
+@pytest.mark.parametrize('step', G_STEPS)
+def test_sdf_params_match_reference(trajectory, step, key, tag):
+    """Logged pre-update each G iteration -> step 12506+ values prove
+    Adam + clamp + EMA across the PPL/ADA/noise branches."""
+    results, scalars = trajectory
+    np.testing.assert_allclose(results[step][key], _ref(scalars, tag, step),
+                               rtol=1e-4, err_msg=f'{tag} @ {step}')
