@@ -1048,6 +1048,15 @@ def _overflow_fixup(feats, flat_ov, cap_b, coords, planes_dma,
         # ((2, C) from this view) and lane-offset slices ((2, 2C) from a
         # (B*3*R, R*C) view) measured 10-16x slower end-to-end.
         texels = planes_dma.reshape(b * 3 * r * r, C)
+        # All 12 taps (3 planes x 4 bilinear corners) through ONE take:
+        # the forward gather cost is identical (same total rows), but the
+        # backward becomes a single scatter-add into the dplanes table
+        # instead of 12 — each scatter zero-initializes and updates the
+        # full (B*3*R*R, C) f32 buffer, and 12 of them dominated the
+        # whole training backward whenever the fixup cond was live
+        # (~174 ms/pass at the flagship point).
+        idx_all = []
+        w_all = []
         for p_idx in range(3):
             fx = jnp.floor(uu[p_idx])
             fy = jnp.floor(vv[p_idx])
@@ -1056,16 +1065,18 @@ def _overflow_fixup(feats, flat_ov, cap_b, coords, planes_dma,
             x0i = fx.astype(jnp.int32)
             y0i = fy.astype(jnp.int32)
             base = (bi_pt * 3 + p_idx) * r * r
-            acc = 0.0
             for dy, dx, wsel in ((0, 0, (1 - tx) * (1 - ty)),
                                  (0, 1, tx * (1 - ty)),
                                  (1, 0, (1 - tx) * ty),
                                  (1, 1, tx * ty)):
                 yi = jnp.minimum(y0i + dy, r - 1)
                 xi = jnp.minimum(x0i + dx, r - 1)
-                tex = jnp.take(texels, base + yi * r + xi, axis=0)
-                acc = acc + tex.astype(jnp.float32) * wsel
-            good = good + acc
+                idx_all.append(base + yi * r + xi)
+                w_all.append(wsel)
+        idx = jnp.concatenate(idx_all)
+        wts = jnp.concatenate(w_all)
+        tex = jnp.take(texels, idx, axis=0).astype(jnp.float32) * wts
+        good = jnp.sum(tex.reshape(12, cap_b * p, C), axis=0)
     good = (good / 3.0).reshape(cap_b, p, C)
 
     if decode is not None:

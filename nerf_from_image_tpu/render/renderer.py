@@ -133,6 +133,18 @@ def render(
             weights[..., 1:-1],
             depth_samples_per_ray,
             rng=rng_fine)
+        # Values-only per-ray ascending sort. The COMPOSITE doesn't need
+        # it (the pairwise-weights formulation is sample-order-invariant,
+        # so every scalar/gradient is identical either way) — but the
+        # windowed sampler's (tile, slab) blocking does: the reference
+        # draws its pdf quantiles UNSORTED (nerf_utils.py:sample_pdf)
+        # and sorts the merged samples afterwards; without a sort, a
+        # slab of consecutive fine samples spans the ray's whole in-box
+        # segment and ~14% of fine blocks overflow their plane windows,
+        # keeping the overflow-fixup lax.cond live (~430 ms/step
+        # fwd+bwd at the flagship point). A bitonic values-only sort of
+        # (rays, S) has no gathers and costs ~ms.
+        z_samples = jnp.sort(z_samples, axis=-1)
         z_samples = jax.lax.stop_gradient(
             z_samples.reshape(b, height, width, depth_samples_per_ray))
 

@@ -1,7 +1,11 @@
 """Times the jitted G/D train steps at the flagship operating point
 (128^2, batch N, 64+64 samples, bf16, pallas sampler) on the real chip.
 
-Usage: python scripts/bench_train_step.py [batch] [--ppl]
+Usage: python scripts/bench_train_step.py [batch] [--ppl] [--steady]
+
+--steady benchmarks the steady-state operating point: blur warmup over
+(blur_active=False, the last 96% of a 300k-iteration run) — the right
+comparison point for the reference's training-throughput envelope.
 
 --ppl enables path-length regularization. It is OFF by default because
 no reference dataset config enables it (arguments.py:111 is opt-in and
@@ -65,7 +69,7 @@ def main():
                                                  cfg))
     d_step = jax.jit(lambda s, br, bf: gan_lib.d_step(
         s, br, bf, gen, disc, opt_d, cfg, use_r1_now=True,
-        blur_active=True))
+        blur_active='--steady' not in sys.argv))
 
     bg = make_batch(jax.random.PRNGKey(1), False)
     br = make_batch(jax.random.PRNGKey(2), True)
