@@ -31,12 +31,16 @@ class BootstrapEncoder(nn.Module):
     depths: Tuple[int, ...] = (3, 6, 40, 3)
     embed_dims: Tuple[int, ...] = (64, 128, 320, 512)
     num_heads: Tuple[int, ...] = (1, 2, 5, 8)
+    sr_ratios: Tuple[int, ...] = (8, 4, 2, 1)
+    drop_path_rate: float = 0.1
     head_width: int = 512
 
     def _backbone(self, name):
         return Segformer(out_features=self.head_width, dtype=self.dtype,
                          depths=self.depths, embed_dims=self.embed_dims,
                          num_heads=self.num_heads,
+                         sr_ratios=self.sr_ratios,
+                         drop_path_rate=self.drop_path_rate,
                          decoder_dim=768 if self.head_width == 512
                          else 2 * self.head_width,
                          name=name)

@@ -117,18 +117,23 @@ class SegBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, height, width, deterministic=True):
-        rng = (self.make_rng('droppath')
-               if not deterministic and self.drop_path_rate > 0 else None)
+        # Two INDEPENDENT stochastic-depth draws per block: the reference's
+        # SegBlock calls its SegDropPath once per residual (segformer.py:
+        # 120-126), and each call draws a fresh bernoulli mask. make_rng
+        # folds in a per-call counter, so each call yields a fresh key.
+        live = not deterministic and self.drop_path_rate > 0
         y = SegAttention(self.dim, self.num_heads, self.sr_ratio,
                          dtype=self.dtype, name='attn')(
                              nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                           name='norm1')(x), height, width)
-        x = x + drop_path(y, self.drop_path_rate, deterministic, rng)
+        x = x + drop_path(y, self.drop_path_rate, deterministic,
+                          self.make_rng('droppath') if live else None)
         y = SegMLP(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,
                    name='mlp')(
                        nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                     name='norm2')(x), height, width)
-        x = x + drop_path(y, self.drop_path_rate, deterministic, rng)
+        x = x + drop_path(y, self.drop_path_rate, deterministic,
+                          self.make_rng('droppath') if live else None)
         return x
 
 

@@ -67,10 +67,18 @@ def init_train_state(rng: jax.Array, encoder: BootstrapEncoder,
 
 
 def render_distillation_targets(gen: Generator, ema_params, z, pose, focal,
-                                center, bbox, cfg: EncoderConfig, rng):
+                                center, bbox, cfg: EncoderConfig, rng,
+                                noise=None):
     """Frozen-EMA render of (image, mask, canonical coords)
-    (run.py:1630-1647)."""
+    (run.py:1630-1647).
+
+    `noise`: optional dict of precomputed noise arrays replacing the
+    rng-derived draws (trajectory-parity injection, same contract as
+    train/gan.py:generator_forward): 'depth'/'pdf_u' for the renderer,
+    'sg_noise' for per-layer StyleGAN noise."""
     rng, rng_sgnoise = jax.random.split(rng)
+    if noise is not None and 'sg_noise' in noise:
+        rng_sgnoise = noise['sg_noise']
     ws = gen.apply(ema_params, z, method=Generator.map)
     # Fresh StyleGAN noise per distillation render for noise-enabled models
     # (reference run.py:1639-1647 renders with default noise_mode='random').
@@ -81,9 +89,12 @@ def render_distillation_targets(gen: Generator, ema_params, z, pose, focal,
         return gen.apply(ema_params, state, pts, reqs,
                          method=Generator.sample)
 
+    render_rng = rng
+    if noise is not None and ('depth' in noise or 'pdf_u' in noise):
+        render_rng = {k: noise[k] for k in ('depth', 'pdf_u') if k in noise}
     out = render(sample_fn, cfg.resolution, cfg.resolution, pose, focal,
                  center, bbox, cfg.scene_range, cfg.white_background,
-                 cfg.depth_samples_per_ray, rng=rng,
+                 cfg.depth_samples_per_ray, rng=render_rng,
                  fine_sampling=cfg.fine_sampling, compute_coords=True)
     image = jnp.clip(out.rgb, -1.0, 1.0)
     return (jax.lax.stop_gradient(image), jax.lax.stop_gradient(out.mask),
@@ -95,8 +106,9 @@ def train_step(state: EncoderTrainState, batch: Dict[str, jnp.ndarray],
                encoder: BootstrapEncoder, gen: Generator, ema_params,
                opt, cfg: EncoderConfig
                ) -> Tuple[EncoderTrainState, Dict[str, jnp.ndarray]]:
-    """One distillation step. batch: pose/focal/center/bbox (+z optional)."""
-    rng, rng_z, rng_render = jax.random.split(state.rng, 3)
+    """One distillation step. batch: pose/focal/center/bbox (+z and
+    'noise' optional — trajectory-parity injections)."""
+    rng, rng_z, rng_render, rng_dp = jax.random.split(state.rng, 4)
     z = batch.get('z')
     if z is None:
         z = jax.random.normal(rng_z, (batch['pose'].shape[0],
@@ -105,11 +117,17 @@ def train_step(state: EncoderTrainState, batch: Dict[str, jnp.ndarray],
     target_img, target_mask, target_coords, ws = \
         render_distillation_targets(gen, ema_params, z, batch['pose'],
                                     batch.get('focal'), batch.get('center'),
-                                    batch.get('bbox'), cfg, rng_render)
+                                    batch.get('bbox'), cfg, rng_render,
+                                    noise=batch.get('noise'))
 
     def loss_fn(params):
+        # train() mode: stochastic depth active (the reference trains the
+        # regressor with SegFormer's default drop_path_rate=0.1,
+        # run.py:1619 coord_regressor.train(); segformer.py:24-37).
         coords, seg, w = encoder.apply(params,
-                                       target_img.transpose(0, 3, 1, 2))
+                                       target_img.transpose(0, 3, 1, 2),
+                                       deterministic=False,
+                                       rngs={'droppath': rng_dp})
         loss_coords = jnp.mean(
             jnp.linalg.norm(coords - target_coords, axis=-1) * target_mask)
         loss_mask = jnp.mean(jnp.abs(seg - target_mask))

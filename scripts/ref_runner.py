@@ -131,6 +131,11 @@ def _patch_cuda_shims():
     torch.cuda.device = lambda idx: contextlib.nullcontext()
     torch.cuda.manual_seed = lambda seed: None
     torch.cuda.empty_cache = lambda: None
+    # save_random_state (utils.py, called by the coord-regressor
+    # save_checkpoint, run.py:1589) snapshots per-gpu RNG states.
+    torch.cuda.get_rng_state = lambda *a, **kw: torch.empty(
+        0, dtype=torch.uint8)
+    torch.cuda.set_rng_state = lambda *a, **kw: None
 
 
 def _patch_numpy2_compat():
@@ -195,6 +200,11 @@ def _patch_segformer_narrow():
     from models import segformer as ref_seg
     embed, depths, heads, srs = [tuple(int(x) for x in part.split(','))
                                  for part in spec.split('|')]
+    # REF_SEG_DROP_PATH overrides drop_path_rate (the encoder-training
+    # tape sets it to 0: SegDropPath draws via Tensor.bernoulli_, which
+    # bypasses the torch.rand taps; the drop-path MECHANISM is parity-
+    # tested at module level, the tape covers everything else).
+    dp = os.environ.get('REF_SEG_DROP_PATH')
 
     class Narrow(ref_seg.Segformer):
         def __init__(self, *a, **kw):
@@ -202,6 +212,8 @@ def _patch_segformer_narrow():
             kw['depths'] = list(depths)
             kw['num_heads'] = list(heads)
             kw['sr_ratios'] = list(srs)
+            if dp is not None:
+                kw['drop_path_rate'] = float(dp)
             super().__init__(*a, **kw)
 
     ref_seg.Segformer = Narrow
@@ -274,6 +286,26 @@ def _patch_augment_taps():
     F.grid_sample = gs
 
 
+def _patch_scalar_taps():
+    """REF_TAP_SCALARS=1 records every SummaryWriter.add_scalar call on
+    the tape. Robust against run.py exiting via sys.exit before the
+    writer flushes its event file (run.py:1806-1807,
+    --inv_train_coord_only), where read_tb_scalars would see nothing."""
+    if os.environ.get('REF_TAP_SCALARS') != '1':
+        return
+    from torch.utils import tensorboard as tb
+
+    orig = tb.SummaryWriter.add_scalar
+
+    def add_scalar(self, tag, value, step=None, *a, **kw):
+        TAPE.append({'site': 'tap:add_scalar', 'kind': 'scalar',
+                     'tag': str(tag), 'step': int(step),
+                     'value': float(value)})
+        return orig(self, tag, value, step, *a, **kw)
+
+    tb.SummaryWriter.add_scalar = add_scalar
+
+
 def _patch_split_taps():
     """REF_TAP_SPLITS=1 records the loaded train split's image tensors.
     With augment_p > 0 the reference loads every dataset at 2x
@@ -306,6 +338,7 @@ def main():
     _patch_dataset_overrides()
     _patch_segformer_narrow()
     _patch_value_taps()
+    _patch_scalar_taps()
     _patch_augment_taps()
     _patch_split_taps()
     _patch_numpy_rng()
