@@ -645,14 +645,25 @@ class Generator(nn.Module):
 
     def sdf_losses(self, planes, rng,
                    requests: Sequence[str] = ('sdf_eikonal_loss',),
-                   nstrata: int = 32):
+                   nstrata: int = 32, dma_planes=None):
         """Eikonal/distance/TV/entropy losses on stratified volume samples
         (generator.py:505-585).
 
         `rng` may be a dict of precomputed noise {'strata': uniform
         (B, n, n, n, 3), 'perturb': normal (B, N, 3)} — trajectory-parity
         injection of the reference's torch.rand_like/randn_like draws
-        (ops.py:25, generator.py:553-555)."""
+        (ops.py:25, generator.py:553-555).
+
+        `dma_planes`: optional (B, 3, R, R*C) bf16 DMA layout. When given
+        (and the geometry fits), the FIRST-ORDER decodes (tv pair,
+        entropy, distance target) route through the windowed Pallas
+        sampler: the stratified grid is spatially structured — a 4x4x4
+        cell block's footprint is (tile+1)*(R-1)/n + 2 taps ~= 43 texels
+        at n=31/R=256, inside the 48-col window — so the index-bound XLA
+        gather (~13.7 ns/row) is avoidable. Only the eikonal term, whose
+        g_step gradient is second-order (grad-of-grad, beyond the
+        sampler's first-order custom VJP), stays on the quad-table path.
+        """
         bs = planes.shape[0]
         if isinstance(rng, dict):
             rng_strata = rng['strata']
@@ -667,20 +678,29 @@ class Generator(nn.Module):
             coords = (pts / self.scene_range).reshape(bs, 1, -1, 3)
             return self.decode(planes, coords)['density_or_distance'][..., -1]
 
+        n = nstrata - 1
+        decode_fo, mean_fo, block_fo = self._stratified_windowed_decode(
+            planes, dma_planes, n)
+        if decode_fo is None:
+            decode_fo = decode_d
+            mean_fo = lambda x: jnp.mean(x.reshape(bs, -1), axis=1)
+            block_fo = lambda x: x
+
         if 'sdf_eikonal_loss' in requests:
             grad = jax.grad(lambda p: jnp.sum(decode_d(p)))(bins_in)
             sdf_magnitude = jnp.linalg.norm(grad, axis=-1)
             outputs['sdf_eikonal_loss'] = jnp.mean(
                 jnp.square(sdf_magnitude - 1.0).reshape(bs, -1), axis=1)
 
-        d = decode_d(bins_in)
+        d = decode_fo(bins_in)
 
         if 'sdf_distance_loss' in requests:
+            # target in the SAME point order as d (blocked under the
+            # windowed path — the loss pairs them elementwise).
             target = jax.lax.stop_gradient(
-                jnp.linalg.norm(bins_in, axis=-1) - 1.0)
-            outputs['sdf_distance_loss'] = jnp.mean(
-                jnp.square(d.reshape(bs, -1) - target.reshape(bs, -1)),
-                axis=1)
+                block_fo(jnp.linalg.norm(bins_in, axis=-1) - 1.0))
+            outputs['sdf_distance_loss'] = mean_fo(
+                jnp.square(d.reshape(bs, -1) - target.reshape(bs, -1)))
 
         if 'total_variation_loss' in requests or 'entropy_loss' in requests:
             if 'total_variation_loss' in requests:
@@ -691,27 +711,93 @@ class Generator(nn.Module):
                     pn = jax.random.normal(rng_perturb, bins_in.shape)
                 perturbed = jax.lax.stop_gradient(bins_in) + \
                     pn * 0.004 * self.scene_range
-                d_perturb = decode_d(perturbed)
+                # Same blocking as d: |pre - pre_p| pairs pointwise.
+                d_perturb = decode_fo(perturbed)
             if self.use_sdf:
                 beta = self.beta
                 if 'total_variation_loss' in requests:
                     pre = laplace_cdf(-d, beta)
                     pre_p = laplace_cdf(-d_perturb, beta)
-                    outputs['total_variation_loss'] = jnp.mean(
-                        jnp.abs(pre - pre_p).reshape(bs, -1), axis=1)
+                    outputs['total_variation_loss'] = mean_fo(
+                        jnp.abs(pre - pre_p))
                 if 'entropy_loss' in requests:
-                    outputs['entropy_loss'] = jnp.mean(
-                        laplace_pdf(-d, beta).reshape(bs, -1), axis=1)
+                    outputs['entropy_loss'] = mean_fo(laplace_pdf(-d, beta))
             else:
                 tv_term = jax.nn.sigmoid(d - 1.0)
                 if 'total_variation_loss' in requests:
                     tv_p = jax.nn.sigmoid(d_perturb - 1.0)
-                    outputs['total_variation_loss'] = jnp.mean(
-                        jnp.abs(tv_term - tv_p).reshape(bs, -1), axis=1)
+                    outputs['total_variation_loss'] = mean_fo(
+                        jnp.abs(tv_term - tv_p))
                 if 'entropy_loss' in requests:
-                    outputs['entropy_loss'] = jnp.mean(
-                        (tv_term * (1.0 - tv_term)).reshape(bs, -1), axis=1)
+                    outputs['entropy_loss'] = mean_fo(
+                        tv_term * (1.0 - tv_term))
         return outputs
+
+    def _stratified_windowed_decode(self, planes, dma_planes, n):
+        """First-order stratified-grid decode through the windowed Pallas
+        sampler (see sdf_losses). Returns (decode, masked_mean, block) or
+        (None, None, None) when the geometry doesn't fit.
+
+        The n^3 grid is edge-padded to a multiple of the 4x4x4 block and
+        decoded in the kernel's blocked point order; `masked_mean`
+        excludes the pad points, `block` maps a flat (B, n^3, ...) tensor
+        into the same blocked order (for elementwise pairing)."""
+        tile = slab = 4
+        if dma_planes is None or not self.use_pallas or n < tile:
+            return None, None, None
+        r = dma_planes.shape[-2]
+        footprint = (tile + 1) * (r - 1) / n + 2.0
+        from nerf_from_image_tpu.ops.pallas import triplane_window as tw
+        resident_fit = 2 * dma_planes[0].size * 2 <= 48 * 1024 * 1024
+        if (footprint > min(tw.WIN, tw.WIN_Y) or r < 64 or
+                not resident_fit):
+            return None, None, None
+        bs = planes.shape[0]
+        npad = -(-n // tile) * tile
+        pad = npad - n
+        nb_side = npad // tile
+        p = tile * tile * slab
+
+        def block_padded(g):
+            """(B, npad, npad, npad, ...) -> blocked (B, NB*P, ...)
+            (prepare_blocks' block transpose)."""
+            trail = g.shape[4:]
+            g = g.reshape((g.shape[0], nb_side, tile, nb_side, tile,
+                           nb_side, slab) + trail)
+            g = jnp.moveaxis(g, (2, 4), (4, 5))  # -> (b,ht,wt,ks,t,t,s,..)
+            return g.reshape((g.shape[0], nb_side ** 3 * p) + trail)
+
+        def block(x):
+            """(B, n^3, ...) flat grid tensor -> blocked, edge-padded."""
+            trail = x.shape[2:]
+            g = x.reshape((bs, n, n, n) + trail)
+            g = jnp.pad(g, ((0, 0), (0, pad), (0, pad), (0, pad)) +
+                        ((0, 0),) * len(trail), mode='edge')
+            return block_padded(g)
+
+        def decode(pts):
+            # NATURAL padded grid in: the sampler blocks internally with
+            # the same tile/slab transpose block_padded replicates, so
+            # its unblock=False output pairs positionally with block()'d
+            # tensors.
+            g = pts.reshape(bs, n, n, n, 3)
+            g = jnp.pad(g, ((0, 0), (0, pad), (0, pad), (0, pad), (0, 0)),
+                        mode='edge')
+            feats, _ = tw.sample_triplane_windowed(
+                planes, dma_planes, None, g / self.scene_range,
+                tile=tile, slab=slab, coord_grads=False, unblock=False)
+            return self.decoder.mlp(
+                feats.astype(self.dtype))['density_or_distance'][..., -1]
+
+        real = jnp.pad(jnp.ones((1, n, n, n), jnp.float32),
+                       ((0, 0), (0, pad), (0, pad), (0, pad)))
+        mask = block_padded(real)  # (1, NB*P), 0 on pad points
+        denom = float(n ** 3)
+
+        def masked_mean(x):
+            return jnp.sum(x.reshape(bs, -1) * mask, axis=1) / denom
+
+        return decode, masked_mean, block
 
     def __call__(self, z, c=None):
         """Init-friendly forward: maps z and synthesizes a state."""

@@ -130,6 +130,14 @@ class GANConfig:
     lr_warmup: bool = True
     batch_size: int = 32
     use_pallas: bool = True  # windowed triplane sampler in train steps
+    # Route the first-order SDF regularizer decodes (tv pair, entropy,
+    # distance) through the windowed Pallas sampler too (A/B knob; see
+    # Generator._stratified_windowed_decode). Default OFF: measured
+    # 973 vs 904 ms g_step at the flagship point (PERF.md) — at ~30k
+    # stratified points the index-bound XLA gather is cheap and the
+    # kernel's launch + edge-pad overhead dominates; the windowed path
+    # only pays at render-scale point counts (~2M).
+    reg_windowed: bool = False
     plane_resolution: int = 256  # StyleGAN synthesis output resolution
     channel_base: int = 32768  # StyleGAN channel scaling (both G and D)
     channel_max: int = 512
@@ -399,7 +407,9 @@ def generator_forward(gen: Generator, params_g, z, pose, focal, center,
                        if k in noise}
         extra.update(
             gen.apply(params_g, state.planes, reg_rng, reg_requests,
-                      method=Generator.sdf_losses))
+                      method=Generator.sdf_losses,
+                      dma_planes=state.dma_planes
+                      if cfg.reg_windowed else None))
 
     if 'path_length' in requests:
         extra['path_length'] = compute_path_length(

@@ -67,8 +67,24 @@ def main():
 
     g_step = jax.jit(lambda s, b: gan_lib.g_step(s, b, gen, disc, opt_g,
                                                  cfg))
+    # A/B the first-order-regularizer decode routing (--ab-reg): the
+    # same step with the tv/entropy/distance decodes on the XLA
+    # quad-table path instead of the windowed Pallas sampler.
+    g_step_xla_reg = None
+    if '--ab-reg' in sys.argv:
+        import dataclasses
+        cfg_xla = dataclasses.replace(cfg, reg_windowed=False)
+        g_step_xla_reg = jax.jit(lambda s, b: gan_lib.g_step(
+            s, b, gen, disc, opt_g, cfg_xla))
     d_step = jax.jit(lambda s, br, bf: gan_lib.d_step(
         s, br, bf, gen, disc, opt_d, cfg, use_r1_now=True,
+        blur_active='--steady' not in sys.argv))
+    # The reference applies R1 only every 2nd D step (run.py:1095-1100:
+    # `use_r1 and i % 2 == 1`), so its training-throughput envelope
+    # blends R1 and plain D iterations — measure both and report the
+    # blended steady-state pair.
+    d_step_plain = jax.jit(lambda s, br, bf: gan_lib.d_step(
+        s, br, bf, gen, disc, opt_d, cfg, use_r1_now=False,
         blur_active='--steady' not in sys.argv))
 
     bg = make_batch(jax.random.PRNGKey(1), False)
@@ -90,15 +106,36 @@ def main():
         state, mg = g_step(state, bg)
     sync(mg)
     tg = (time.time() - t0) / n
+    if g_step_xla_reg is not None:
+        state, mgx = g_step_xla_reg(state, bg)
+        sync(mgx)
+        t0 = time.time()
+        for _ in range(n):
+            state, mgx = g_step_xla_reg(state, bg)
+        sync(mgx)
+        tgx = (time.time() - t0) / n
+        print(f'g_step A/B: windowed-reg {tg * 1e3:.0f} ms vs xla-reg '
+              f'{tgx * 1e3:.0f} ms', flush=True)
     t0 = time.time()
     for _ in range(n):
         state, md = d_step(state, br, bf)
     sync(md)
     td = (time.time() - t0) / n
-    print(f'batch {batch}: g_step {tg * 1e3:.0f} ms, d_step {td * 1e3:.0f} '
-          f'ms, pair {(tg + td) * 1e3:.0f} ms -> '
-          f'{batch / (tg + td):.2f} im/s/chip (pair accounting), '
-          f'{2 * batch / (tg + td):.2f} im/s/chip (per-iteration)')
+    state, md0 = d_step_plain(state, br, bf)
+    sync(md0)
+    t0 = time.time()
+    for _ in range(n):
+        state, md0 = d_step_plain(state, br, bf)
+    sync(md0)
+    td0 = (time.time() - t0) / n
+    td_blend = 0.5 * (td + td0)
+    print(f'batch {batch}: g_step {tg * 1e3:.0f} ms, d_step(R1) '
+          f'{td * 1e3:.0f} ms, d_step(plain) {td0 * 1e3:.0f} ms, '
+          f'blended pair {(tg + td_blend) * 1e3:.0f} ms -> '
+          f'{batch / (tg + td_blend):.2f} im/s/chip '
+          f'(reference R1-every-2 cadence); '
+          f'R1-every-step pair {(tg + td) * 1e3:.0f} ms -> '
+          f'{batch / (tg + td):.2f} im/s/chip')
 
 
 if __name__ == '__main__':
