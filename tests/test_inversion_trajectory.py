@@ -423,3 +423,38 @@ def test_native_pnp_matches_recorded_cv2(trajectory):
                                    rtol=1e-6)
         np.testing.assert_allclose(w2c, w2c_ref, atol=5e-3,
                                    err_msg=f'pnp pose[{b}]')
+
+
+def test_late_step_residuals_are_noise_not_drift(trajectory):
+    """Cross-step signed-residual drift detector (VERDICT r4 weak #6).
+
+    The late-step bands (rtol up to 8e-3 under the vgg loss) are pinned
+    just above measured fp-reorder noise — wide enough that a systematic
+    ~0.5% one-sided bias would pass every per-step assert. Noise and
+    drift separate statistically: pool the SIGNED relative residuals of
+    the per-step monitors over the loose steps (t >= 2), each monitor
+    normalized to unit rms. Amplified rounding noise is sign-balanced
+    (|mean| well below 1); a directional drift pushes every residual to
+    one sign (|mean| -> 1). Thresholds are set from the measured
+    statistic on the current tapes (printed on failure) with headroom,
+    but below the ~1.0 a consistent bias produces."""
+    results, scalars, _, cfg_ref = trajectory
+    pooled = []
+    for key, tag in [('psnr', 'monitor_b0/psnr'),
+                     ('lpips', 'monitor_b0/lpips'),
+                     ('rot_error', 'monitor_b0/rot_error')]:
+        got = results[0]['steps'][key]
+        ref = dict(scalars[tag])
+        r = np.array([(float(got[t]) - ref[t]) / max(abs(ref[t]), 1e-12)
+                      for t in range(2, cfg_ref['inv_steps'])])
+        rms = float(np.sqrt(np.mean(np.square(r))))
+        if rms < 1e-12:  # bit-exact — nothing to pool
+            continue
+        pooled.extend((r / rms).tolist())
+    if not pooled:
+        pytest.skip('all late-step residuals bit-exact')
+    stat = abs(float(np.mean(pooled)))
+    assert stat < 0.8, (
+        f'late-step residuals are one-sided (|mean of unit-rms signed '
+        f'residuals| = {stat:.3f}, pooled over {len(pooled)}): looks '
+        f'like systematic drift, not fp noise. Residuals: {pooled}')

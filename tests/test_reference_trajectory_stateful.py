@@ -382,3 +382,41 @@ def test_sdf_params_match_reference(trajectory, step, key, tag):
     results, scalars = trajectory
     np.testing.assert_allclose(results[step][key], _ref(scalars, tag, step),
                                rtol=1e-4, err_msg=f'{tag} @ {step}')
+
+
+def test_late_step_residuals_are_noise_not_drift(trajectory):
+    """Cross-step signed-residual drift detector (VERDICT r4 weak #6).
+
+    The late-step bands (rtol up to 1.5e-1 on ppl/loss, 4e-2 on
+    grad_norm/g) are pinned just above the measured PPL fp-noise
+    amplification — wide enough for a systematic one-sided bias to pass
+    every per-step assert. Pool the SIGNED relative residuals of every
+    loose-step scalar (steps after the first G/D update), each tag
+    normalized to unit rms: amplified Adam-quantization noise is
+    sign-balanced, a directional drift pushes |mean| -> 1."""
+    results, scalars = trajectory
+    tags = [('loss_g', 'loss/g', G_STEPS[1:]),
+            ('loss_eikonal', 'loss/eikonal', G_STEPS[1:]),
+            ('loss_tv', 'loss/tv', G_STEPS[1:]),
+            ('loss_entropy', 'loss/entropy', G_STEPS[1:]),
+            ('loss_ppl', 'ppl/loss', G_STEPS[1:]),
+            ('grad_norm_g', 'grad_norm/g', G_STEPS[1:]),
+            ('loss_d_real', 'loss/d_real', D_STEPS[1:]),
+            ('loss_d_fake', 'loss/d_fake', D_STEPS[1:]),
+            ('loss_r1', 'loss/r1', D_STEPS[1:]),
+            ('grad_norm_d', 'grad_norm/d', D_STEPS[1:])]
+    pooled = []
+    for key, tag, steps in tags:
+        r = np.array([
+            (results[s][key] - _ref(scalars, tag, s)) /
+            max(abs(_ref(scalars, tag, s)), 1e-12) for s in steps])
+        rms = float(np.sqrt(np.mean(np.square(r))))
+        if rms < 1e-12:
+            continue
+        pooled.extend((r / rms).tolist())
+    assert pooled, 'no residuals to pool'
+    stat = abs(float(np.mean(pooled)))
+    assert stat < 0.8, (
+        f'loose-step residuals are one-sided (|mean of unit-rms signed '
+        f'residuals| = {stat:.3f}, pooled over {len(pooled)}): looks '
+        f'like systematic drift, not fp noise. Residuals: {pooled}')
