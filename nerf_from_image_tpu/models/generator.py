@@ -300,6 +300,15 @@ class Generator(nn.Module):
     # point grids (inference path; the VJP for training stays XLA).
     use_pallas: bool = False
     fuse_decode: bool = False  # in-kernel decoder tail (slower on v5e)
+    # Fixed overflow-correction capacity of the windowed sampler, as a
+    # fraction of total blocks (ops/pallas/triplane_window.py). The
+    # default covers every reference dataset camera (objects fill the
+    # bbox-cropped frame -> ~0% of blocks overflow); raise it for
+    # strongly zoomed-out cameras (object <~40 px at 128^2), where the
+    # per-tile ray spread exceeds the plane window and more blocks need
+    # the exact XLA correction. sample() reports the uncorrected
+    # residual as outputs['overflow_resid'] (0 => exact).
+    overflow_capacity_frac: float = 1 / 64
     # StyleGAN channel scaling (stylegan.py:441-446 defaults); narrow
     # values give tiny-but-structurally-identical models for CPU parity
     # harnesses.
@@ -569,7 +578,8 @@ class Generator(nn.Module):
                 }
                 out4, _resid = triplane_window.sample_triplane_windowed(
                     state.planes, state.dma_planes, state.packed_planes,
-                    coords_n, decode=decode, coord_grads=coord_grads)
+                    coords_n, decode=decode, coord_grads=coord_grads,
+                    overflow_capacity_frac=self.overflow_capacity_frac)
                 dec = {'density_or_distance': out4[..., :1].astype(
                     self.dtype), 'features': None}
                 fused_rgb = out4[..., 1:].astype(self.dtype)
@@ -584,13 +594,20 @@ class Generator(nn.Module):
                 # point axis minor and the transpose is pad-free.
                 feats, _resid = triplane_window.sample_triplane_windowed(
                     state.planes, state.dma_planes, state.packed_planes,
-                    coords_n, coord_grads=coord_grads, unblock=False)
+                    coords_n, coord_grads=coord_grads, unblock=False,
+                    overflow_capacity_frac=self.overflow_capacity_frac)
                 dec = self.decoder.mlp(feats.astype(self.dtype))
                 _h, _w, _s = x_in.shape[1], x_in.shape[2], x_in.shape[3]
                 reorder = lambda t: triplane_window.unblock_points(
                     t, _h, _w, _s)
         else:
             dec = decode_density(x_in)
+        if use_windowed:
+            # Uncorrected overflow count (scalar int32; 0 => the windowed
+            # result is exact). Surfaced so callers can log/warn instead
+            # of silently consuming an inexact render when a zoomed-out
+            # camera exceeds overflow_capacity_frac.
+            outputs['overflow_resid'] = _resid
         density_or_distance = dec['density_or_distance']
         features = dec['features']
         if reorder is not None:

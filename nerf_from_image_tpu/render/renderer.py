@@ -28,6 +28,11 @@ class RenderOutput:
     mask: jnp.ndarray  # (B, H, W)
     normals: Optional[jnp.ndarray] = None  # (B, H, W, 3)
     semantics: Optional[jnp.ndarray] = None  # (B, H, W, K or 3)
+    # Windowed-sampler overflow residual summed over the coarse+fine
+    # passes (scalar int32). 0 (or None on the XLA sampling path) means
+    # the render is exact; >0 means some points exceeded the fixed
+    # correction capacity (models/generator.py overflow_capacity_frac).
+    overflow_resid: Optional[jnp.ndarray] = None
 
 
 def normalize(x, axis=-1, eps=1e-12):
@@ -119,6 +124,7 @@ def render(
                  if compute_semantics else None)
     coords = (unflatten(out_coarse['coords'], s_coarse)
               if compute_coords else None)
+    overflow_resid = out_coarse.get('overflow_resid')
 
     if fine_sampling:
         z_vals = depth_values
@@ -155,6 +161,10 @@ def render(
         out_fine = sample_fn(query_points_fine, tuple(requests))
         sigma_fine = unflatten(out_fine['sigma'], s_coarse)[..., 0]
         rgb_fine = unflatten(out_fine['rgb'], s_coarse)
+        if out_fine.get('overflow_resid') is not None:
+            overflow_resid = (out_fine['overflow_resid']
+                              if overflow_resid is None else
+                              overflow_resid + out_fine['overflow_resid'])
 
         # No sort-merge: the coarse+fine union is composited in
         # concatenation order via the pairwise-weights formulation
@@ -186,4 +196,5 @@ def render(
             samples_sorted=not fine_sampling))
 
     return RenderOutput(rgb=rgb_map, depth=depth_map, mask=mask,
-                        normals=normal_map, semantics=semantic_map)
+                        normals=normal_map, semantics=semantic_map,
+                        overflow_resid=overflow_resid)

@@ -107,15 +107,21 @@ class GANEvaluator:
         self.stats_cache_dir = stats_cache_dir
         self.best_fid = float('inf')
         self._render_fn = None
+        # Trajectory-replay hook: when set, called once per rendered eval
+        # batch (in evaluation order) and must return the render() noise
+        # dict {'depth': ..., 'pdf_u': ...} — the injected equivalents of
+        # the reference's per-render torch.rand draws.
+        self.render_noise_provider = None
 
         rng = np.random.RandomState(seed)
         n = len(train_eval_split.images)
         if train_eval_split.eval_indices is None:
             train_eval_split.eval_indices = compute_eval_indices(
                 n, dataset_name, rng)
-        train_eval_split.eval_indices_perm = compute_view_perm(
-            train_eval_split.eval_indices,
-            dataset_config.get('views_per_object'), rng)
+        if getattr(train_eval_split, 'eval_indices_perm', None) is None:
+            train_eval_split.eval_indices_perm = compute_view_perm(
+                train_eval_split.eval_indices,
+                dataset_config.get('views_per_object'), rng)
         if test_split is not None and dataset_config.get(
                 'views_per_object_test'):
             test_split.eval_indices = np.arange(len(test_split.images))
@@ -185,7 +191,7 @@ class GANEvaluator:
 
         def forward(ema_params, z, pose, focal, center, bbox, image_emb,
                     class_label, noise_rng, compute_normals,
-                    compute_semantics):
+                    compute_semantics, render_rng=None):
             c = None
             if self.use_encoder and image_emb is not None:
                 c = gen.apply(ema_params, image_emb,
@@ -207,7 +213,7 @@ class GANEvaluator:
             out = render(sample_fn, cfg.resolution, cfg.resolution, pose,
                          focal, center, bbox, cfg.scene_range,
                          cfg.white_background, cfg.depth_samples_per_ray,
-                         rng=None, fine_sampling=cfg.fine_sampling,
+                         rng=render_rng, fine_sampling=cfg.fine_sampling,
                          compute_normals=compute_normals,
                          compute_semantics=compute_semantics,
                          force_no_cam_grad=True)
@@ -296,7 +302,7 @@ class GANEvaluator:
             out = self._render_fn(params, z, pose, focal, center, bbox,
                                   image_emb, class_label, noise_rng,
                                   bool(cfg.use_sdf),
-                                  bool(cfg.attention_values > 0))
+                                  bool(cfg.attention_values > 0), None)
             rgb = np.asarray(
                 jnp.clip(out.rgb, -1, 1).transpose(0, 3, 1, 2)) / 2 + 0.5
             writer.add_images(f'img/{tag}', rgb, iteration)
@@ -381,11 +387,26 @@ class GANEvaluator:
             noise_rng = jax.random.fold_in(
                 jax.random.PRNGKey(2424),
                 (iteration * 1000003 + start) % (2 ** 32))
+            render_rng = (self.render_noise_provider()
+                          if self.render_noise_provider is not None
+                          else None)
             out = self._render_fn(
                 state.ema_params_g, z, pose, focal, center, bbox,
                 image_emb, class_label, noise_rng,
                 bool(cfg.use_sdf and first),
-                bool(cfg.attention_values > 0 and first))
+                bool(cfg.attention_values > 0 and first),
+                render_rng)
+            if (out.overflow_resid is not None and
+                    not getattr(self, '_overflow_warned', False) and
+                    int(out.overflow_resid) > 0):
+                self._overflow_warned = True
+                import warnings
+                warnings.warn(
+                    f'eval render: {int(out.overflow_resid)} points '
+                    'exceeded the windowed sampler overflow capacity — '
+                    'metrics are slightly inexact for this camera set; '
+                    'raise overflow_capacity_frac '
+                    '(models/generator.py).')
             rgb = jnp.clip(out.rgb, -1, 1).transpose(0, 3, 1, 2) / 2 + 0.5
 
             if compute_recon:

@@ -138,6 +138,11 @@ class GANConfig:
     # kernel's launch + edge-pad overhead dominates; the windowed path
     # only pays at render-scale point counts (~2M).
     reg_windowed: bool = False
+    # Windowed-sampler overflow-correction capacity (fraction of blocks;
+    # models/generator.py). Raise for strongly zoomed-out cameras; the
+    # g_step metric 'overflow_resid' (tag debug/overflow_resid) reports
+    # any uncorrected points (0 => every training render is exact).
+    overflow_capacity_frac: float = 1 / 64
     plane_resolution: int = 256  # StyleGAN synthesis output resolution
     channel_base: int = 32768  # StyleGAN channel scaling (both G and D)
     channel_max: int = 512
@@ -166,6 +171,7 @@ def make_models(cfg: GANConfig, dtype=jnp.float32):
                     use_encoder=cfg.use_encoder,
                     num_classes=cfg.num_classes if cfg.use_class else None,
                     use_pallas=cfg.use_pallas,
+                    overflow_capacity_frac=cfg.overflow_capacity_frac,
                     use_stylegan_noise=cfg.use_stylegan_noise,
                     img_resolution=cfg.plane_resolution,
                     channel_base=cfg.channel_base,
@@ -515,6 +521,11 @@ def g_step(state: GANTrainState, batch: Dict[str, jnp.ndarray],
             rgb = jnp.concatenate((rgb, out.mask[..., None]), axis=-1)
         img = rgb.transpose(0, 3, 1, 2)
         metrics = {}
+        if out.overflow_resid is not None:
+            # 0 => every point of this render was exact; >0 points
+            # exceeded the windowed sampler's fixed correction capacity
+            # (raise cfg.overflow_capacity_frac for such cameras).
+            metrics['overflow_resid'] = out.overflow_resid
         if recon_mode:
             # D1 replaced by a 10x recon loss against the (blur-warmup)
             # conditioning image (run.py:992-999).

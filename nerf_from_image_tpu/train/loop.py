@@ -47,6 +47,9 @@ def metric_tag(key: str, dual: bool) -> str:
         'loss_d_fake_cond': 'loss/d_fake_cond',
         'loss_d_real': 'loss/d_real',
         'loss_d_fake': 'loss/d_fake',
+        # TPU-only diagnostic (no reference tag): uncorrected windowed-
+        # sampler overflow count for the G render; 0 => exact.
+        'overflow_resid': 'debug/overflow_resid',
     }
     return fixed.get(key, f'loss/{key}')
 

@@ -55,8 +55,21 @@ def main():
                                                        dtype=dtype))(
         jax.random.PRNGKey(0))
 
+    # Camera distance: 2.0 is the representative training operating
+    # point (object ~42 px of 128 — conservative vs the frame-filling
+    # bbox-cropped reference datasets). 4.0 is an off-distribution
+    # zoom-out past the windowed sampler's overflow cliff (object
+    # ~21 px, ~7% of blocks overflow) — keep it reachable for
+    # regression probing. See PERF.md "r5: the bench-camera overflow
+    # cliff".
+    dist = 2.0
+    for a in sys.argv[1:]:
+        if a.startswith('--dist='):
+            dist = float(a.split('=')[1])
+
     def make_batch(key, with_image):
-        pose = jnp.broadcast_to(jnp.eye(4), (batch, 4, 4)).at[:, 2, 3].set(4.0)
+        pose = jnp.broadcast_to(jnp.eye(4),
+                                (batch, 4, 4)).at[:, 2, 3].set(dist)
         out = {'pose': pose, 'focal': jnp.full((batch,), 1.2),
                'z': jax.random.normal(key, (batch, cfg.latent_dim))}
         if with_image:
