@@ -184,6 +184,26 @@ def convert_seg_block(sd: Dict[str, np.ndarray],
 # Generator
 # ---------------------------------------------------------------------------
 
+def convert_residual_encoder(sd: Dict[str, np.ndarray],
+                             prefix: str = 'emb.') -> Dict[str, Any]:
+    """Reference ResidualEncoder (generator.py:63-129) -> flax params.
+
+    Instance-norm affine params (G-side, use_instance_norm=True) become
+    the flat 'norm{i}_scale'/'norm{i}_bias' params; the mid convs then
+    carry no bias (reference `bias = False` when instance-norm)."""
+    p: Dict[str, Any] = {}
+    has_norm = f'{prefix}norm3.weight' in sd
+    for i in range(1, 11):
+        bias = (i in (1, 2, 9, 10)) or not has_norm
+        p[f'conv{i}'] = _eq_conv(sd, f'{prefix}conv{i}', bias=bias)
+    p['shortcut'] = _eq_conv(sd, f'{prefix}shortcut', bias=False)
+    if has_norm:
+        for i in range(3, 9):
+            p[f'norm{i}_scale'] = sd[f'{prefix}norm{i}.weight']
+            p[f'norm{i}_bias'] = sd[f'{prefix}norm{i}.bias']
+    return p
+
+
 def convert_generator(sd: Dict[str, np.ndarray],
                       attention_values: int = 10,
                       use_viewdir: bool = False,
@@ -193,6 +213,8 @@ def convert_generator(sd: Dict[str, np.ndarray],
     p: Dict[str, Any] = {}
 
     p['mapping_network'] = convert_mapping(sd, 'mapping_network.backbone.')
+    if 'emb.conv1.weight' in sd:  # encoder-mode GAN (use_encoder)
+        p['emb'] = convert_residual_encoder(sd, 'emb.')
     syn_buffers: Dict[str, Any] = {}
     p['synthesis_network'] = convert_synthesis(sd, 'synthesis_network.',
                                                buffers_out=syn_buffers)
@@ -225,6 +247,8 @@ def convert_generator(sd: Dict[str, np.ndarray],
 
 def convert_discriminator(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     p: Dict[str, Any] = {}
+    if 'emb.conv1.weight' in sd:  # image-conditional D (use_encoder)
+        p['emb'] = convert_residual_encoder(sd, 'emb.')
     bb: Dict[str, Any] = {}
     resolutions = sorted({
         int(m.group(1)) for k in sd

@@ -113,7 +113,7 @@ def make_dataset(data_dir, rng, res=None, n_images=None, focal_px=None):
 def build_init_checkpoint(path, channel_base=None, channel_max=None,
                           latent_dim=None, resolution=None,
                           disable_stylegan_noise=True, iteration=0,
-                          augment_p=None):
+                          augment_p=None, use_encoder=False):
     """Init checkpoint in the reference's on-disk format, with the same
     narrow-channel surgery ref_runner applies (run.py loads it via
     --resume_from, restoring weights + fresh Adam states +
@@ -147,6 +147,11 @@ def build_init_checkpoint(path, channel_base=None, channel_max=None,
     from models import generator as ref_gen
     from models import discriminator as ref_disc
     from data import loaders as ref_loaders
+    if not hasattr(ref_disc, 'ResidualEncoder'):
+        # Upstream bug: discriminator.py:38 uses ResidualEncoder without
+        # importing it (defined in models/generator.py; the 512-D c_dim
+        # accounting matches). Inject the intended name.
+        ref_disc.ResidualEncoder = ref_gen.ResidualEncoder
 
     torch.manual_seed(99)
     dataset_config = ref_loaders.get_dataset_config(CFG['dataset'])
@@ -154,7 +159,7 @@ def build_init_checkpoint(path, channel_base=None, channel_max=None,
                               dataset_config['scene_range'],
                               attention_values=10,
                               use_viewdir=False,
-                              use_encoder=False,
+                              use_encoder=use_encoder,
                               disable_stylegan_noise=disable_stylegan_noise,
                               use_sdf=True,
                               num_classes=None)
@@ -168,7 +173,7 @@ def build_init_checkpoint(path, channel_base=None, channel_max=None,
     disc = ref_disc.Discriminator(resolution, nc=3,
                                   dataset_config=dataset_config,
                                   conditional_pose=True,
-                                  use_encoder=False, num_classes=None)
+                                  use_encoder=use_encoder, num_classes=None)
     opt_g = torch.optim.Adam(list(model.parameters()), lr=CFG['lr_g'],
                              betas=(0., 0.99))
     opt_d = torch.optim.Adam(list(disc.parameters()), lr=CFG['lr_d'],
@@ -213,7 +218,7 @@ def read_tb_scalars(log_root):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else 'base'
-    assert mode in ('base', 'stateful')
+    assert mode in ('base', 'stateful', 'eval', 'pretrain')
     stateful = mode == 'stateful'
 
     work = tempfile.mkdtemp(prefix='traj_golden_')
@@ -223,6 +228,7 @@ def main():
     os.makedirs(root_dir)
 
     cfg = dict(CFG)
+    cfg['mode'] = mode
     if stateful:
         # Resume past every warmup: blur off, tv/entropy warm = 1,
         # pl_weight = 2 (full), ADA controller live; 8 iterations hits
@@ -231,16 +237,32 @@ def main():
                    augment_p=0.8, augment_p_init=0.5,
                    path_length_regularization=True, augment_ada=True,
                    stylegan_noise=True)
+    elif mode == 'eval':
+        # 4 iterations hit the i == 3 smoke eval (run.py:1195-1197):
+        # encoder mode so evaluate() runs its full surface — frozen FID
+        # stats, recon_front (PSNR/SSIM/LPIPS) + recon_random over the
+        # seeded eval indices/perm, FID Frechet, best_fid gating
+        # (run.py:1197-1406, 1511-1513).
+        cfg.update(iterations=4, use_encoder=True)
+    elif mode == 'pretrain':
+        # Fresh run (no --resume_from -> pretrain_sdf runs, run.py:821):
+        # 1000 pretrain Adam steps + 2 training iterations whose scalars
+        # transitively pin the pretrained weights. Init is forced via
+        # REF_FORCE_INIT (module init uses tensor methods the RNG
+        # substitution cannot see).
+        cfg.update(iterations=2, fresh=True)
 
     rng = np.random.RandomState(515)
     images, poses, focal = make_dataset(data_dir, rng)
 
     ckpt_rel = os.path.join('trajinit', 'init.pth')
+    ckpt_abs = os.path.join(root_dir, 'gan_checkpoints', ckpt_rel)
     g_sd, d_sd = build_init_checkpoint(
-        os.path.join(root_dir, 'gan_checkpoints', ckpt_rel),
+        ckpt_abs,
         disable_stylegan_noise=not cfg.get('stylegan_noise', False),
         iteration=cfg.get('start_iteration', 0),
-        augment_p=cfg.get('augment_p_init'))
+        augment_p=cfg.get('augment_p_init'),
+        use_encoder=cfg.get('use_encoder', False))
 
     tape_path = os.path.join(work, 'tape.json')
     env = dict(os.environ)
@@ -260,15 +282,22 @@ def main():
            '--gpus', '0',
            '--batch_size', str(CFG['batch_size']),
            '--iterations', str(cfg['iterations']),
-           '--resume_from', ckpt_rel,
            '--latent_dim', str(CFG['latent_dim']),
            '--resolution', str(CFG['resolution'])]
+    if cfg.get('fresh'):
+        env['REF_FORCE_INIT'] = ckpt_abs
+        env['REF_TAP_PRINTS'] = '1'
+    else:
+        cmd += ['--resume_from', ckpt_rel]
     if stateful:
         # type=bool flag: empty string -> False (arguments.py:150-153).
         cmd += ['--path_length_regularization', '--augment_ada',
                 '--augment_p', str(cfg['augment_p']),
                 '--disable_stylegan_noise', '']
         env['REF_TAP_AUGMENT'] = '1'
+        env['REF_TAP_SPLITS'] = '1'
+    if mode == 'eval':
+        cmd += ['--use_encoder']
         env['REF_TAP_SPLITS'] = '1'
     print('Running reference:', ' '.join(cmd))
     subprocess.run(cmd, check=True, env=env, cwd=REPO)
@@ -292,7 +321,10 @@ def main():
 
     dest = os.path.join(
         REPO, 'tests', 'golden',
-        'trajectory_gan_stateful.npz' if stateful else 'trajectory_gan.npz')
+        {'base': 'trajectory_gan.npz',
+         'stateful': 'trajectory_gan_stateful.npz',
+         'eval': 'trajectory_gan_eval.npz',
+         'pretrain': 'trajectory_pretrain.npz'}[mode])
     np.savez_compressed(dest, **out)
     print('Wrote', dest, f'({len(out)} arrays)')
     shutil.rmtree(work)

@@ -103,6 +103,68 @@ def _patch_torch_rng():
     torch.randn_like = randn_like
 
 
+def _patch_randperm_records():
+    """Generator-seeded torch.randperm draws (the eval-index/view-perm
+    protocol, run.py:416-476, uses a torch.Generator(1234) the rand/randn
+    substitution cannot see) are RECORDED verbatim — values unchanged —
+    so the replay can consume the exact indices."""
+    orig = torch.randperm
+
+    def randperm(*a, **kw):
+        out = orig(*a, **kw)
+        if kw.get('generator') is not None:
+            TAPE.append({'site': _caller_site(), 'kind': 'permutation',
+                         'values': out.reshape(-1).tolist()})
+        return out
+
+    torch.randperm = randperm
+
+
+def _patch_print_taps():
+    """REF_TAP_PRINTS=1 records print() calls carrying float payloads —
+    pretrain_sdf's dist/eik console telemetry (run.py:856-862) is the
+    only scalar channel that loop has (no SummaryWriter)."""
+    if os.environ.get('REF_TAP_PRINTS') != '1':
+        return
+    import builtins
+    orig = builtins.print
+
+    def prt(*args, **kw):
+        vals = [float(a) for a in args if isinstance(a, float)]
+        if vals:
+            TAPE.append({'site': 'tap:print', 'kind': 'print',
+                         'label': str(args[0]), 'values': vals})
+        return orig(*args, **kw)
+
+    builtins.print = prt
+
+
+def _patch_force_init():
+    """REF_FORCE_INIT=<path.pth>: loads known state dicts into every
+    freshly constructed Generator/Discriminator. Fresh-run-only paths
+    (pretrain_sdf runs only when resume_from is None, run.py:821) cannot
+    be pinned via --resume_from, and module init uses tensor methods
+    (uniform_/normal_) the RNG substitution cannot see — so the tape
+    pins the weights by construction instead."""
+    path = os.environ.get('REF_FORCE_INIT')
+    if not path:
+        return
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    from models import generator as ref_gen
+    from models import discriminator as ref_disc
+
+    def forced(cls, key):
+        class Forced(cls):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, **kw)
+                self.load_state_dict(ckpt[key])
+        return Forced
+
+    ref_gen.Generator = forced(ref_gen.Generator, 'model')
+    ref_disc.Discriminator = forced(ref_disc.Discriminator,
+                                    'discriminator')
+
+
 def _patch_numpy_rng():
     class RecordingRandomState(np.random.RandomState):
         def randint(self, *a, **kw):
@@ -136,6 +198,19 @@ def _patch_cuda_shims():
     torch.cuda.get_rng_state = lambda *a, **kw: torch.empty(
         0, dtype=torch.uint8)
     torch.cuda.set_rng_state = lambda *a, **kw: None
+
+
+def _patch_missing_encoder_import():
+    """models/discriminator.py:38 references `ResidualEncoder` without
+    importing it (an upstream bug: the class lives in models/generator.py
+    and the 512-D c_dim accounting at discriminator.py:50-52 matches its
+    output width) — any `--use_encoder` run of the public reference dies
+    with a NameError. Inject the obviously-intended name so the
+    encoder-mode paths are runnable for taping."""
+    from models import generator as ref_gen
+    from models import discriminator as ref_disc
+    if not hasattr(ref_disc, 'ResidualEncoder'):
+        ref_disc.ResidualEncoder = ref_gen.ResidualEncoder
 
 
 def _patch_numpy2_compat():
@@ -325,6 +400,13 @@ def _patch_split_taps():
             'tap:train_split',
             images=train_split.images.cpu(),
             images_highres=None if hi is None else hi.cpu()))
+        # The eval split feeds the frozen FID stats + recon targets
+        # (run.py:403, 1219-1286); record it too when it differs.
+        train_eval_split = out[2]
+        if train_eval_split is not train_split:
+            TAPE.append(_tensor_entry(
+                'tap:train_eval_split',
+                images=train_eval_split.images.cpu()))
         return out
 
     ref_loaders.load_dataset = load
@@ -332,6 +414,7 @@ def _patch_split_taps():
 
 def main():
     _patch_cuda_shims()
+    _patch_missing_encoder_import()
     _patch_numpy2_compat()
     _patch_dataloader()
     _patch_channels()
@@ -341,8 +424,11 @@ def main():
     _patch_scalar_taps()
     _patch_augment_taps()
     _patch_split_taps()
+    _patch_print_taps()
+    _patch_force_init()
     _patch_numpy_rng()
     _patch_torch_rng()
+    _patch_randperm_records()
 
     sys.argv = ['run.py'] + sys.argv[1:]
     import runpy
