@@ -176,3 +176,60 @@ def test_sdf_losses_windowed_matches_xla():
     for k in reqs:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    rtol=2e-2, atol=2e-3, err_msg=k)
+
+
+def test_overflow_resid_surfaced():
+    """The windowed sampler's uncorrected overflow count is SURFACED
+    (r5): Generator.sample returns outputs['overflow_resid'] (0 => the
+    render is exact), and render() carries it on
+    RenderOutput.overflow_resid instead of silently consuming an
+    inexact result when a camera exceeds the correction capacity."""
+    gen = Generator(latent_dim=32, scene_range=0.55, attention_values=4,
+                    use_sdf=True, img_resolution=64, use_pallas=True)
+    z0 = jnp.zeros((1, 32))
+    variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z0)
+    state = jax.jit(lambda: gen.apply(
+        variables, gen.apply(variables, z0, method=Generator.map),
+        method=Generator.synthesize))()
+    assert state.dma_planes is not None
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def sample(pts, reqs):
+        return gen.apply(variables, state, pts, reqs,
+                         method=Generator.sample)
+
+    # Benign structured grid: per-tile spread ~2 texels -> 0 overflow.
+    lin = jnp.linspace(-0.05, 0.05, 8)
+    x, y = jnp.meshgrid(lin, lin, indexing='ij')
+    pts = jnp.stack([
+        jnp.broadcast_to(x[..., None], (8, 8, 4)),
+        jnp.broadcast_to(y[..., None], (8, 8, 4)),
+        jnp.broadcast_to(jnp.linspace(-0.02, 0.02, 4), (8, 8, 4)),
+    ], axis=-1)[None] * gen.scene_range
+    out = sample(pts, ('sigma',))
+    assert 'overflow_resid' in out
+    assert int(out['overflow_resid']) == 0
+
+    # Adversarial: every (8, 8, 4) block spans the whole plane ->
+    # every block overflows the 48-col window; 5 blocks vs the
+    # default capacity max(5 // 64, 4) = 4 -> resid = 1 uncorrected.
+    pts_bad = (jax.random.uniform(jax.random.PRNGKey(3), (1, 8, 8, 20, 3))
+               * 2.0 - 1.0) * gen.scene_range
+    out_bad = sample(pts_bad, ('sigma',))
+    assert int(out_bad['overflow_resid']) == 1
+
+    # Renderer propagation: a zoomed-in camera -> exact (resid 0).
+    def render_sample_fn(pts, reqs):
+        return gen.apply(variables, state, pts, reqs,
+                         method=Generator.sample)
+
+    @jax.jit
+    def render_fn(pose, focal):
+        return render(render_sample_fn, 8, 8, pose, focal, None, None,
+                      gen.scene_range, True, 4, rng=None,
+                      fine_sampling=False)
+
+    pose = jnp.broadcast_to(jnp.eye(4), (1, 4, 4)).at[:, 2, 3].set(2.0)
+    out_r = render_fn(pose, jnp.full((1,), 1.2))
+    assert out_r.overflow_resid is not None
+    assert int(out_r.overflow_resid) == 0
