@@ -29,6 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Heavy reference-replay family (the encoder-distillation replay (169 MB tape)):
+# the module fixture compiles multiple full jitted programs, so the
+# whole module lives in the parity lane (pytest -m parity, REQUIRED
+# in CI) and outside the quick inner loop ('not slow').
+pytestmark = [pytest.mark.parity, pytest.mark.slow]
+
 from nerf_from_image_tpu.models.encoder import BootstrapEncoder
 from nerf_from_image_tpu.train import encoder as enc_lib
 from nerf_from_image_tpu.train import gan as gan_lib

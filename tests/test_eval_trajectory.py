@@ -30,6 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Heavy reference-replay family (the evaluate() smoke-eval replay):
+# the module fixture compiles multiple full jitted programs, so the
+# whole module lives in the parity lane (pytest -m parity, REQUIRED
+# in CI) and outside the quick inner loop ('not slow').
+pytestmark = [pytest.mark.parity, pytest.mark.slow]
+
 from nerf_from_image_tpu.data.loaders import DatasetSplit
 from nerf_from_image_tpu.models.lpips import LPIPS
 from nerf_from_image_tpu.train import eval as eval_lib

@@ -35,6 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Heavy reference-replay family (the 5-step hybrid-inversion replays (l1 + vgg)):
+# the module fixture compiles multiple full jitted programs, so the
+# whole module lives in the parity lane (pytest -m parity, REQUIRED
+# in CI) and outside the quick inner loop ('not slow').
+pytestmark = [pytest.mark.parity, pytest.mark.slow]
+
 from nerf_from_image_tpu.core import augment as augment_lib
 from nerf_from_image_tpu.core import pose as pose_utils
 from nerf_from_image_tpu.invert import optimizer as inv_opt
