@@ -175,6 +175,64 @@ def _jit_perm_render(ctx: EvalContext, cfg, has_focal: bool,
     return fn
 
 
+def _jit_front_metrics(ctx: EvalContext, with_iou: bool):
+    """One jitted graph for the front-view checkpoint metrics: the
+    psnr/ssim/iou/lpips evals previously ran EAGERLY (op-by-op dispatch
+    on TPU — ~2 s per checkpoint at batch 8, r5 stage probe); fused into
+    a single executable only the per-image scalars leave the device."""
+    key = ('front_metrics', with_iou)
+    fn = ctx.jit_cache.get(key)
+    if fn is None:
+        def run(lpips_vars, rgb, mask, target):
+            # Same math as the eager path: pred clipped to [-1, 1],
+            # target as-is (run.py:2020-2123).
+            pred = jnp.clip(rgb, -1, 1).transpose(0, 3, 1, 2)
+            tgt = target.transpose(0, 3, 1, 2)
+            pred01 = pred[:, :3] / 2 + 0.5
+            tgt01 = tgt[:, :3] / 2 + 0.5
+            out = {
+                'psnr': image_metrics.psnr(pred01, tgt01,
+                                           reduction='none'),
+                'ssim': image_metrics.ssim(pred01, tgt01,
+                                           reduction='none'),
+                'lpips': ctx.lpips.apply(lpips_vars, pred[:, :3],
+                                         tgt[:, :3]).flatten(),
+            }
+            if with_iou:
+                out['iou'] = image_metrics.iou(mask, tgt[:, 3],
+                                               reduction='none')
+            return out
+
+        fn = jax.jit(run)
+        ctx.jit_cache[key] = fn
+    return fn
+
+
+def _jit_random_metrics(ctx: EvalContext):
+    """Jitted novel-view metrics (psnr/ssim/lpips vs the permuted-view
+    target); same fusion rationale as _jit_front_metrics."""
+    key = ('random_metrics',)
+    fn = ctx.jit_cache.get(key)
+    if fn is None:
+        def run(lpips_vars, rgb, target):
+            pred = jnp.clip(rgb, -1, 1).transpose(0, 3, 1, 2)
+            tgt = target.transpose(0, 3, 1, 2)
+            pred01 = pred[:, :3] / 2 + 0.5
+            tgt01 = tgt[:, :3] / 2 + 0.5
+            return {
+                'psnr_random': image_metrics.psnr(pred01, tgt01,
+                                                  reduction='none'),
+                'ssim_random': image_metrics.ssim(pred01, tgt01,
+                                                  reduction='none'),
+                'lpips_random': ctx.lpips.apply(lpips_vars, pred[:, :3],
+                                                tgt[:, :3]).flatten(),
+            }
+
+        fn = jax.jit(run)
+        ctx.jit_cache[key] = fn
+    return fn
+
+
 def evaluate_checkpoint(ctx: EvalContext, cfg: inv_opt.InversionConfig,
                         params: inv_opt.InversionParams, report_entry,
                         target_img_fid, target_center_fid, target_bbox_fid,
@@ -205,23 +263,15 @@ def evaluate_checkpoint(ctx: EvalContext, cfg: inv_opt.InversionConfig,
              if a is not None]
     out, cam, focal = fn(ctx.gen_vars, params,
                          *(jnp.asarray(a) for a in fargs))
-    pred = np.asarray(jnp.clip(out.rgb, -1, 1)).transpose(0, 3, 1, 2)
-    target = np.asarray(target_img_fid).transpose(0, 3, 1, 2)
-
-    pred01 = pred[:, :3] / 2 + 0.5
-    target01 = target[:, :3] / 2 + 0.5
-    app('psnr', image_metrics.psnr(jnp.asarray(pred01),
-                                   jnp.asarray(target01), reduction='none'))
-    app('ssim', image_metrics.ssim(jnp.asarray(pred01),
-                                   jnp.asarray(target01), reduction='none'))
-    if ctx.has_mask and target.shape[1] > 3:
-        app('iou', image_metrics.iou(jnp.asarray(np.asarray(out.mask)),
-                                     jnp.asarray(target[:, 3]),
-                                     reduction='none'))
-    lp = ctx.lpips.apply(ctx.lpips_vars, jnp.asarray(pred[:, :3]),
-                         jnp.asarray(target[:, :3]))
-    app('lpips', np.asarray(lp).flatten())
+    target_dev = jnp.asarray(target_img_fid)
+    with_iou = ctx.has_mask and target_img_fid.shape[-1] > 3
+    metrics = _jit_front_metrics(ctx, with_iou)(
+        ctx.lpips_vars, out.rgb, out.mask, target_dev)
+    for k, v in metrics.items():
+        app(k, v)
     if ctx.inception_apply is not None:
+        pred01 = (np.asarray(jnp.clip(out.rgb, -1, 1))
+                  .transpose(0, 3, 1, 2)[:, :3] / 2 + 0.5)
         app('inception_activations_front',
             ctx.inception_apply(jnp.asarray(pred01)))
     if compute_rot_error and gt_cam2world is not None:
@@ -242,19 +292,15 @@ def evaluate_checkpoint(ctx: EvalContext, cfg: inv_opt.InversionConfig,
                     for a in (perm_focal, perm_center, perm_bbox)
                     if a is not None]
         out_r = fn_r(ctx.gen_vars, ws, jnp.asarray(perm_cam), *opt_args)
-        pred_r = np.asarray(jnp.clip(out_r.rgb, -1, 1)).transpose(0, 3, 1, 2)
-        pred_r01 = pred_r[:, :3] / 2 + 0.5
         if target_img_random is not None:
-            tr = np.asarray(target_img_random).transpose(0, 3, 1, 2)
-            tr01 = tr[:, :3] / 2 + 0.5
-            app('psnr_random', image_metrics.psnr(
-                jnp.asarray(pred_r01), jnp.asarray(tr01), reduction='none'))
-            app('ssim_random', image_metrics.ssim(
-                jnp.asarray(pred_r01), jnp.asarray(tr01), reduction='none'))
-            lp_r = ctx.lpips.apply(ctx.lpips_vars, jnp.asarray(pred_r[:, :3]),
-                                   jnp.asarray(tr[:, :3]))
-            app('lpips_random', np.asarray(lp_r).flatten())
+            metrics_r = _jit_random_metrics(ctx)(
+                ctx.lpips_vars, out_r.rgb,
+                jnp.asarray(target_img_random))
+            for k, v in metrics_r.items():
+                app(k, v)
         if ctx.inception_apply is not None:
+            pred_r01 = (np.asarray(jnp.clip(out_r.rgb, -1, 1))
+                        .transpose(0, 3, 1, 2)[:, :3] / 2 + 0.5)
             app('inception_activations_random',
                 ctx.inception_apply(jnp.asarray(pred_r01)))
 
